@@ -1,0 +1,117 @@
+"""Base class for embedding models.
+
+Contract parity with the reference's ``ModelLoader`` (reference
+fadtk/model_loader.py:21-86): a model has a unique ``name``, an output feature
+dimension, an input sample rate, an optional minimum length; it loads lazily, and
+``get_embedding`` returns a float16 ``(n_frames, num_features)`` array for storage
+(the float32 -> float16 downcast at fadtk/model_loader.py:47-48 is part of the
+on-disk cache format and is preserved).
+
+TPU-native departures from the reference:
+
+- ``_embed`` receives host float32 PCM and is expected to run its compute as a
+  jitted JAX function over **static shapes** (each model chunks/pads its input to
+  a fixed window or a length bucket so XLA compiles once per bucket).
+- Weights are JAX pytrees, converted from the upstream torch checkpoints by
+  ``fadtk_tpu.weights`` and stored under the checkpoint directory
+  (``FADTK_TPU_CHECKPOINTS`` env var, default ``~/.cache/fadtk_tpu``).
+- Models also expose ``embed_batch`` for the sharded multi-clip pipeline.
+"""
+
+from __future__ import annotations
+
+import os
+from abc import ABC, abstractmethod
+from pathlib import Path
+
+import numpy as np
+
+from ..utils import PathLike, log
+
+
+def checkpoint_dir() -> Path:
+    return Path(
+        os.environ.get("FADTK_TPU_CHECKPOINTS", Path.home() / ".cache" / "fadtk_tpu")
+    )
+
+
+class EmbeddingModel(ABC):
+    """One embedding model variant (one registry name)."""
+
+    def __init__(self, name: str, num_features: int, sr: int, min_len: int = -1):
+        self.name = name
+        self.num_features = num_features
+        self.sr = sr
+        self.min_len = min_len
+        self.loaded = False
+
+    # ------------------------------------------------------------------ #
+    # Loading
+    # ------------------------------------------------------------------ #
+
+    @abstractmethod
+    def load_model(self) -> None:
+        """Materialize parameters (converted checkpoint or random for tests)."""
+
+    def ensure_loaded(self) -> None:
+        if not self.loaded:
+            self.load_model()
+            self.loaded = True
+
+    # ------------------------------------------------------------------ #
+    # Audio input
+    # ------------------------------------------------------------------ #
+
+    def load_wav(self, wav_file: PathLike) -> np.ndarray:
+        """Read a converted 16-bit PCM wav as float in [-1, 1).
+
+        Parity: reference fadtk/model_loader.py:63-70 (int16 / 32768, then
+        minimum-length zero padding).
+        """
+        from ..audio.wavio import read_wav_int16
+
+        wav_data, _sr = read_wav_int16(wav_file)
+        if wav_data.ndim == 2:  # (frames, channels) -> keep channel-major parity
+            wav_data = wav_data.astype(np.float64)
+        wav = wav_data / 32768.0
+        return self.enforce_min_len(wav)
+
+    def enforce_min_len(self, audio: np.ndarray) -> np.ndarray:
+        """Zero-pad audio shorter than ``min_len`` seconds, with a warning.
+
+        Parity: reference fadtk/model_loader.py:72-86.
+        """
+        if self.min_len < 0:
+            return audio
+        if audio.shape[0] < self.min_len * self.sr:
+            log.warning(
+                f"Audio is too short for {self.name}. The model requires a minimum "
+                f"length of {self.min_len}s, audio is {audio.shape[0] / self.sr:.2f}s. "
+                "Padding with zeros."
+            )
+            pad = int(np.ceil(self.min_len * self.sr - audio.shape[0]))
+            audio = np.pad(audio, (0, pad))
+        return audio
+
+    # ------------------------------------------------------------------ #
+    # Embedding
+    # ------------------------------------------------------------------ #
+
+    @abstractmethod
+    def _embed(self, audio: np.ndarray) -> np.ndarray:
+        """Embed one clip -> (n_frames, num_features), float32."""
+
+    def get_embedding(self, audio: np.ndarray) -> np.ndarray:
+        """Embed and downcast for storage (parity: fadtk/model_loader.py:40-50)."""
+        self.ensure_loaded()
+        embd = np.asarray(self._embed(audio))
+        if embd.dtype == np.float32:
+            embd = embd.astype(np.float16)
+        return embd
+
+    def embed_batch(self, clips: list[np.ndarray]) -> list[np.ndarray]:
+        """Embed several clips; subclasses override with batched device code."""
+        return [self.get_embedding(c) for c in clips]
+
+    def __repr__(self) -> str:
+        return f"<{type(self).__name__} {self.name} d={self.num_features} sr={self.sr}>"
