@@ -1,0 +1,119 @@
+"""Kaiser-windowed sinc polyphase resampler.
+
+Numerically equivalent to torchaudio's ``sinc_interp_kaiser`` resampler with the
+exact constants the reference pins for SoX-HQ parity (reference
+fadtk/fad.py:151-158): ``lowpass_filter_width=64``,
+``rolloff=0.9475937167399596``, ``beta=14.769656459379492``.
+
+Design (TPU-first):
+
+- The polyphase filter bank is built once on host in float64 and cached per
+  (sr_in, sr_out) pair; it is a dense ``(L, 1, K)`` tensor (L = output phases per
+  input block, K = taps).
+- Application is a strided conv, which XLA lowers onto the MXU as an implicit
+  GEMM: input framed into (n_blocks, K) windows x (K, L) filters. No scalar
+  loops, fully static shapes.
+- The algorithm matches torchaudio functional ``resample``: gcd reduction, the
+  same index grid, the same Kaiser window (i0), the same edge padding
+  (width, width + orig) and the same ceil-based output length.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.special import i0 as _i0
+
+# Reference resampling constants (fadtk/fad.py:154-157).
+LOWPASS_FILTER_WIDTH = 64
+ROLLOFF = 0.9475937167399596
+KAISER_BETA = 14.769656459379492
+
+
+@lru_cache(maxsize=64)
+def kaiser_sinc_kernel(
+    sr_in: int,
+    sr_out: int,
+    lowpass_filter_width: int = LOWPASS_FILTER_WIDTH,
+    rolloff: float = ROLLOFF,
+    beta: float = KAISER_BETA,
+) -> tuple[np.ndarray, int, int, int]:
+    """Build the polyphase kernel.
+
+    Returns (kernels, width, orig, new) where kernels has shape
+    (new, 2*width + orig) — one FIR per output phase — and orig/new are the
+    gcd-reduced rates. Mirrors torchaudio's `_get_sinc_resample_kernel` math,
+    computed in float64 then cast to float32 (torchaudio builds the kernel in
+    the waveform dtype; float64 construction only reduces rounding noise below
+    the 16-bit PCM quantization that follows in the cache, fadtk/fad.py:160).
+    """
+    gcd = math.gcd(int(sr_in), int(sr_out))
+    orig = int(sr_in) // gcd
+    new = int(sr_out) // gcd
+
+    base_freq = min(orig, new) * rolloff
+    width = math.ceil(lowpass_filter_width * orig / base_freq)
+
+    # t[p, k] = (-p/new + (k - width)/orig) * base_freq, p in [0, new), k taps.
+    idx = np.arange(-width, width + orig, dtype=np.float64) / orig  # (K,)
+    t = np.arange(0, -new, -1, dtype=np.float64)[:, None] / new + idx[None, :]
+    t *= base_freq
+    t = np.clip(t, -lowpass_filter_width, lowpass_filter_width)
+
+    window = _i0(beta * np.sqrt(1 - (t / lowpass_filter_width) ** 2)) / _i0(beta)
+    tpi = t * math.pi
+    scale = base_freq / orig
+    kernels = np.where(tpi == 0, 1.0, np.sin(tpi) / np.where(tpi == 0, 1.0, tpi))
+    kernels = kernels * window * scale
+    return kernels.astype(np.float32), width, orig, new
+
+
+@partial(jax.jit, static_argnames=("sr_in", "sr_out"))
+def _resample_device(x: jax.Array, sr_in: int, sr_out: int) -> jax.Array:
+    """Resample a batch (B, T) of waveforms on device.
+
+    Strided conv == framed GEMM: XLA tiles the (K, new) filter matmul onto the
+    MXU; the same compiled kernel serves every clip of the same padded length.
+    """
+    kernels, width, orig, new = kaiser_sinc_kernel(sr_in, sr_out)
+    k = jnp.asarray(kernels)  # (new, K)
+
+    b, length = x.shape
+    x = jnp.pad(x, ((0, 0), (width, width + orig)))
+    # Frame into windows of K taps at stride `orig`: (B, n_blocks, K).
+    n_blocks = (x.shape[1] - k.shape[1]) // orig + 1
+    out = jax.lax.conv_general_dilated(
+        x[:, None, :],  # (B, C=1, T)
+        k[:, None, :],  # (O=new, I=1, K)
+        window_strides=(orig,),
+        padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32,
+    )  # (B, new, n_blocks)
+    del n_blocks
+    out = jnp.transpose(out, (0, 2, 1)).reshape(b, -1)  # interleave phases
+    target_len = int(math.ceil(new * length / orig))
+    return out[:, :target_len]
+
+
+def resample_kaiser(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+    """Resample a mono waveform (host API). Identity when rates match."""
+    if sr_in == sr_out:
+        return np.asarray(x, dtype=np.float32)
+    x = np.asarray(x, dtype=np.float32)
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[None, :]
+    y = np.asarray(_resample_device(jnp.asarray(x), int(sr_in), int(sr_out)))
+    return y[0] if squeeze else y
+
+
+def resample_batch(x: jax.Array, sr_in: int, sr_out: int) -> jax.Array:
+    """Device API for the batched pipeline: (B, T) -> (B, T')."""
+    if sr_in == sr_out:
+        return x
+    return _resample_device(x, int(sr_in), int(sr_out))
