@@ -1,0 +1,409 @@
+"""Shared speech-transformer encoder (wav2vec 2.0 / HuBERT / WavLM / MERT).
+
+From-scratch functional JAX implementation, numerically equivalent to the HF
+torch models the reference invokes (reference fadtk/model_loader.py:525-633 for
+w2v2/hubert/wavlm, :254-288 for MERT) — differential-tested against transformers
+in tests/test_speech_encoder.py.
+
+TPU-first design decisions:
+
+- **Static shapes with exact masking.** The reference runs one unpadded clip at
+  a time; we batch clips padded to length buckets. Every cross-time operation
+  (conv-extractor group norm, positional conv, attention) is mask-aware so the
+  valid frames are bit-identical to an unpadded run — padding never perturbs
+  scores, it only buys us one XLA compilation per bucket and full MXU batching.
+- **Functional params.** Parameters are plain nested dicts (mirroring the torch
+  module tree for easy checkpoint conversion) and the forward is a pure
+  function: trivially jit/vmap/shard_map-able, with tensor-parallel sharding
+  annotations applied externally (fadtk_tpu.parallel).
+- **All 13/25 hidden states in one pass**, stacked on a leading axis, matching
+  HF's ``output_hidden_states=True`` tuple that the reference indexes for its
+  per-layer model variants (fadtk/model_loader.py:553-558).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import SpeechEncoderConfig
+
+
+def _gelu(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+def _layer_norm(x, p, eps):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+
+
+# --------------------------------------------------------------------------- #
+# Conv feature extractor
+# --------------------------------------------------------------------------- #
+
+
+def _conv1d(x, kernel, stride, bias=None, padding="VALID", groups=1):
+    """x: (B, T, C_in); kernel: (K, C_in/groups, C_out)."""
+    y = jax.lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(stride,),
+        padding=padding,
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        feature_group_count=groups,
+        preferred_element_type=x.dtype,
+    )
+    if bias is not None:
+        y = y + bias
+    return y
+
+
+def _masked_group_norm_per_channel(x, mask, p, eps=1e-5):
+    """GroupNorm with num_groups == num_channels == per-channel instance norm
+    over time (HF Wav2Vec2GroupNormConvLayer), with statistics restricted to
+    valid frames so padded batches match unpadded runs exactly.
+
+    x: (B, T, C); mask: (B, T) in {0,1}.
+    """
+    m = mask[..., None]
+    n = jnp.maximum(jnp.sum(m, axis=1, keepdims=True), 1.0)
+    mean = jnp.sum(x * m, axis=1, keepdims=True) / n
+    var = jnp.sum(jnp.square(x - mean) * m, axis=1, keepdims=True) / n
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    return y * p["scale"] + p["bias"]
+
+
+def _feature_extractor_single(cfg, params, audio, num_valid):
+    """(T,) audio, scalar valid length -> (T_frames, C), (T_frames,) mask."""
+    x = audio[None, :, None]
+    valid = num_valid
+    t = x.shape[1]
+    for i in range(len(cfg.conv_kernel)):
+        layer = params["conv_layers"][i]
+        k, s = cfg.conv_kernel[i], cfg.conv_stride[i]
+        x = _conv1d(x, layer["conv"]["kernel"], s, layer["conv"].get("bias"))
+        valid = (valid - k) // s + 1
+        t = x.shape[1]
+        mask = (jnp.arange(t) < valid).astype(x.dtype)[None, :]
+        if cfg.feat_extract_norm == "group" and i == 0:
+            x = _masked_group_norm_per_channel(x, mask, layer["layer_norm"])
+        elif cfg.feat_extract_norm == "layer":
+            x = _layer_norm(x, layer["layer_norm"], cfg.layer_norm_eps)
+        x = _gelu(x)
+    return x[0], (jnp.arange(t) < valid).astype(x.dtype), valid
+
+
+# --------------------------------------------------------------------------- #
+# Positional conv embedding
+# --------------------------------------------------------------------------- #
+
+
+def pos_conv_embedding(cfg: SpeechEncoderConfig, p, x):
+    """Grouped conv positional embedding with SAME-style padding and the
+    even-kernel trailing-sample trim (HF Wav2Vec2PositionalConvEmbedding +
+    SamePadLayer). Input must already have padded frames zeroed."""
+    pad = cfg.num_conv_pos_embeddings // 2
+    y = _conv1d(
+        x,
+        p["kernel"],
+        1,
+        p["bias"],
+        padding=[(pad, pad)],
+        groups=cfg.num_conv_pos_embedding_groups,
+    )
+    if cfg.num_conv_pos_embeddings % 2 == 0:
+        y = y[:, :-1, :]
+    return _gelu(y)
+
+
+# --------------------------------------------------------------------------- #
+# Attention
+# --------------------------------------------------------------------------- #
+
+
+def _split_heads(x, num_heads):
+    b, t, h = x.shape
+    return x.reshape(b, t, num_heads, h // num_heads).transpose(0, 2, 1, 3)
+
+
+def _attention_core(q, k, v, bias):
+    """q,k,v: (B, H, T, D); bias: additive (B, H, T, T) or broadcastable."""
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("bhtd,bhsd->bhts", q * scale, k, preferred_element_type=q.dtype)
+    logits = logits + bias
+    w = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhts,bhsd->bhtd", w, v, preferred_element_type=q.dtype)
+    b, h, t, d = out.shape
+    return out.transpose(0, 2, 1, 3).reshape(b, t, h * d)
+
+
+def standard_attention(cfg: SpeechEncoderConfig, p, x, key_bias):
+    q = x @ p["q_proj"]["kernel"] + p["q_proj"]["bias"]
+    k = x @ p["k_proj"]["kernel"] + p["k_proj"]["bias"]
+    v = x @ p["v_proj"]["kernel"] + p["v_proj"]["bias"]
+    out = _attention_core(
+        _split_heads(q, cfg.num_heads),
+        _split_heads(k, cfg.num_heads),
+        _split_heads(v, cfg.num_heads),
+        key_bias,
+    )
+    return out @ p["out_proj"]["kernel"] + p["out_proj"]["bias"]
+
+
+def _wavlm_relative_buckets(num_buckets: int, max_distance: int, t: int) -> np.ndarray:
+    """T5-style log-spaced relative position buckets (HF WavLMAttention
+    ._relative_positions_bucket); static per sequence length."""
+    half = num_buckets // 2
+    rel = np.arange(t)[None, :] - np.arange(t)[:, None]  # memory - context
+    buckets = (rel > 0).astype(np.int64) * half
+    rel = np.abs(rel)
+    max_exact = half // 2
+    is_small = rel < max_exact
+    large = max_exact + (
+        np.log(np.maximum(rel, 1) / max_exact)
+        / math.log(max_distance / max_exact)
+        * (half - max_exact)
+    ).astype(np.int64)
+    large = np.minimum(large, half - 1)
+    buckets += np.where(is_small, rel, large)
+    return buckets
+
+
+def wavlm_position_bias(cfg: SpeechEncoderConfig, rel_attn_embed, t: int):
+    """(H, T, T) un-gated relative position bias from the layer-0 embedding."""
+    buckets = jnp.asarray(_wavlm_relative_buckets(cfg.num_buckets, cfg.max_bucket_distance, t))
+    values = jnp.take(rel_attn_embed, buckets, axis=0)  # (T, T, H)
+    return values.transpose(2, 0, 1)
+
+
+def wavlm_attention(cfg: SpeechEncoderConfig, p, x, key_bias, position_bias):
+    """WavLM gated relative position bias attention (HF WavLMAttention).
+
+    The gate is computed from the *unprojected* per-head hidden states:
+    proj -> (..., 2, 4).sum(-1) -> sigmoid -> a * (b * const - 1) + 2.
+    """
+    b, t, _ = x.shape
+    gated_hs = x.reshape(b, t, cfg.num_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+    proj = gated_hs @ p["gru_rel_pos_linear"]["kernel"] + p["gru_rel_pos_linear"]["bias"]
+    proj = proj.reshape(b, cfg.num_heads, t, 2, 4).sum(-1)
+    gates = jax.nn.sigmoid(proj)
+    gate_a, gate_b = gates[..., 0], gates[..., 1]  # (B, H, T)
+    const = p["gru_rel_pos_const"].reshape(1, cfg.num_heads, 1)
+    gate = gate_a * (gate_b * const - 1.0) + 2.0  # (B, H, T)
+    gated_bias = gate[..., None] * position_bias[None]  # (B, H, T, T)
+
+    q = x @ p["q_proj"]["kernel"] + p["q_proj"]["bias"]
+    k = x @ p["k_proj"]["kernel"] + p["k_proj"]["bias"]
+    v = x @ p["v_proj"]["kernel"] + p["v_proj"]["bias"]
+    out = _attention_core(
+        _split_heads(q, cfg.num_heads),
+        _split_heads(k, cfg.num_heads),
+        _split_heads(v, cfg.num_heads),
+        gated_bias + key_bias,
+    )
+    return out @ p["out_proj"]["kernel"] + p["out_proj"]["bias"]
+
+
+# --------------------------------------------------------------------------- #
+# Encoder layers
+# --------------------------------------------------------------------------- #
+
+
+def _feed_forward(p, x):
+    h = _gelu(x @ p["intermediate_dense"]["kernel"] + p["intermediate_dense"]["bias"])
+    return h @ p["output_dense"]["kernel"] + p["output_dense"]["bias"]
+
+
+def encoder_layer(cfg: SpeechEncoderConfig, p, x, key_bias, position_bias):
+    if cfg.attention_type == "wavlm":
+        attn = lambda y: wavlm_attention(cfg, p["attention"], y, key_bias, position_bias)
+    else:
+        attn = lambda y: standard_attention(cfg, p["attention"], y, key_bias)
+
+    if cfg.do_stable_layer_norm:
+        # Pre-norm (HF Wav2Vec2EncoderLayerStableLayerNorm).
+        x = x + attn(_layer_norm(x, p["layer_norm"], cfg.layer_norm_eps))
+        x = x + _feed_forward(
+            p["feed_forward"], _layer_norm(x, p["final_layer_norm"], cfg.layer_norm_eps)
+        )
+    else:
+        # Post-norm (HF Wav2Vec2EncoderLayer).
+        x = _layer_norm(x + attn(x), p["layer_norm"], cfg.layer_norm_eps)
+        x = _layer_norm(
+            x + _feed_forward(p["feed_forward"], x), p["final_layer_norm"], cfg.layer_norm_eps
+        )
+    return x
+
+
+# --------------------------------------------------------------------------- #
+# Full forward
+# --------------------------------------------------------------------------- #
+
+
+def speech_encoder_forward(
+    cfg: SpeechEncoderConfig,
+    params,
+    audio: jax.Array,
+    num_valid: jax.Array | None = None,
+):
+    """Full forward pass.
+
+    Args:
+        audio: (B, T_samples) float32, zero-padded to a bucket length.
+        num_valid: (B,) int32 true sample counts (defaults to full length).
+
+    Returns:
+        hidden_states: (num_layers + 1, B, T_frames, H) — HF's
+            output_hidden_states tuple, stacked (reference selects one layer,
+            fadtk/model_loader.py:556-557).
+        frame_mask: (B, T_frames) validity mask.
+    """
+    b, t_samples = audio.shape
+    if num_valid is None:
+        num_valid = jnp.full((b,), t_samples, jnp.int32)
+
+    if cfg.do_normalize:
+        # HF Wav2Vec2FeatureExtractor zero-mean/unit-var per utterance over
+        # *valid* samples (padding excluded), eps 1e-7.
+        smask = (jnp.arange(t_samples)[None, :] < num_valid[:, None]).astype(audio.dtype)
+        n = jnp.maximum(num_valid.astype(audio.dtype), 1.0)[:, None]
+        mean = jnp.sum(audio * smask, axis=1, keepdims=True) / n
+        var = jnp.sum(jnp.square(audio - mean) * smask, axis=1, keepdims=True) / n
+        audio = (audio - mean) / jnp.sqrt(var + 1e-7) * smask
+
+    feats, frame_mask, _ = jax.vmap(
+        lambda a, nv: _feature_extractor_single(cfg, params["feature_extractor"], a, nv)
+    )(audio, num_valid)
+    # feats: (B, T_frames, C_last); frame_mask: (B, T_frames)
+
+    fp = params["feature_projection"]
+    x = feats
+    if cfg.feat_proj_layer_norm:
+        x = _layer_norm(x, fp["layer_norm"], cfg.layer_norm_eps)
+    x = x @ fp["projection"]["kernel"] + fp["projection"]["bias"]
+
+    # Zero padded frames so the positional conv sees the same zeros an unpadded
+    # run would have (HF zeroes them when an attention mask is passed).
+    x = x * frame_mask[..., None]
+
+    enc = params["encoder"]
+    x = x + pos_conv_embedding(cfg, enc["pos_conv"], x)
+    if not cfg.do_stable_layer_norm:
+        x = _layer_norm(x, enc["layer_norm"], cfg.layer_norm_eps)
+
+    # Additive key mask: large negative on padded keys (HF _prepare_4d mask).
+    neg = jnp.asarray(jnp.finfo(x.dtype).min, x.dtype)
+    key_bias = (1.0 - frame_mask)[:, None, None, :] * neg
+
+    t_frames = x.shape[1]
+    if cfg.attention_type == "wavlm":
+        position_bias = wavlm_position_bias(
+            cfg, enc["layers"][0]["attention"]["rel_attn_embed"], t_frames
+        )
+    else:
+        position_bias = None
+
+    states = [x]
+    for p in enc["layers"]:
+        x = encoder_layer(cfg, p, x, key_bias, position_bias)
+        states.append(x)
+
+    if cfg.do_stable_layer_norm:
+        states[-1] = _layer_norm(states[-1], enc["layer_norm"], cfg.layer_norm_eps)
+
+    return jnp.stack(states, axis=0), frame_mask
+
+
+# --------------------------------------------------------------------------- #
+# Random init (testing / benchmarks without checkpoints)
+# --------------------------------------------------------------------------- #
+
+
+def init_speech_encoder_params(cfg: SpeechEncoderConfig, key, dtype=jnp.float32):
+    """Random parameter pytree with the exact tree structure the torch
+    converter produces (fadtk_tpu.weights.speech)."""
+    keys = iter(jax.random.split(key, 4096))
+
+    def dense(i, o, scale=None):
+        s = scale if scale is not None else 1.0 / math.sqrt(i)
+        return {
+            "kernel": jax.random.uniform(next(keys), (i, o), dtype, -s, s),
+            "bias": jnp.zeros((o,), dtype),
+        }
+
+    def ln(d):
+        return {"scale": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)}
+
+    conv_layers = []
+    in_ch = 1
+    for i, out_ch in enumerate(cfg.conv_dim):
+        k = cfg.conv_kernel[i]
+        layer = {
+            "conv": {
+                "kernel": jax.random.normal(next(keys), (k, in_ch, out_ch), dtype)
+                * (0.5 / math.sqrt(k * in_ch))
+            }
+        }
+        if cfg.conv_bias:
+            layer["conv"]["bias"] = jnp.zeros((out_ch,), dtype)
+        if (cfg.feat_extract_norm == "group" and i == 0) or cfg.feat_extract_norm == "layer":
+            layer["layer_norm"] = ln(out_ch)
+        conv_layers.append(layer)
+        in_ch = out_ch
+
+    h = cfg.hidden_size
+    pos_kernel = jax.random.normal(
+        next(keys),
+        (cfg.num_conv_pos_embeddings, h // cfg.num_conv_pos_embedding_groups, h),
+        dtype,
+    ) * 0.02
+
+    def attn_params(first_layer: bool):
+        p = {
+            "q_proj": dense(h, h),
+            "k_proj": dense(h, h),
+            "v_proj": dense(h, h),
+            "out_proj": dense(h, h),
+        }
+        if cfg.attention_type == "wavlm":
+            p["gru_rel_pos_const"] = jnp.ones((cfg.num_heads,), dtype)
+            p["gru_rel_pos_linear"] = dense(cfg.head_dim, 8)
+            if first_layer:
+                p["rel_attn_embed"] = (
+                    jax.random.normal(next(keys), (cfg.num_buckets, cfg.num_heads), dtype) * 0.02
+                )
+        return p
+
+    layers = [
+        {
+            "attention": attn_params(i == 0),
+            "layer_norm": ln(h),
+            "feed_forward": {
+                "intermediate_dense": dense(h, cfg.intermediate_size),
+                "output_dense": dense(cfg.intermediate_size, h),
+            },
+            "final_layer_norm": ln(h),
+        }
+        for i in range(cfg.num_layers)
+    ]
+
+    params = {
+        "feature_extractor": {"conv_layers": conv_layers},
+        "feature_projection": {
+            "projection": dense(cfg.conv_dim[-1], h),
+        },
+        "encoder": {
+            "pos_conv": {"kernel": pos_kernel, "bias": jnp.zeros((h,), dtype)},
+            "layer_norm": ln(h),
+            "layers": layers,
+        },
+    }
+    if cfg.feat_proj_layer_norm:
+        params["feature_projection"]["layer_norm"] = ln(cfg.conv_dim[-1])
+    return params
