@@ -1,0 +1,139 @@
+"""`fadtk-convert`: convert upstream torch checkpoints to fadtk-tpu weight files.
+
+Runs on a machine where the upstream checkpoints are reachable (network or a
+populated HF cache); produces self-describing .npz weight files consumed by
+``EmbeddingModel.load_model``. The captured ``__config__`` metadata records the
+architecture facts read from the real HF config + processor, so the TPU runtime
+never relies on hard-coded guesses.
+
+Usage:
+    fadtk-convert w2v2-base hubert-large wavlm-base-plus MERT-v1-95M
+    fadtk-convert --all-speech
+"""
+
+from __future__ import annotations
+
+import json
+from argparse import ArgumentParser
+
+import numpy as np
+
+from ..models.registry import get_model
+from ..models.speech.family import SpeechEmbeddingModel
+from ..utils import log
+from .speech import convert_speech_encoder
+from .store import params_path, save_params
+
+
+def _config_meta_from_hf(hf_config, processor) -> dict:
+    meta = dict(
+        conv_dim=tuple(hf_config.conv_dim),
+        conv_kernel=tuple(hf_config.conv_kernel),
+        conv_stride=tuple(hf_config.conv_stride),
+        conv_bias=bool(hf_config.conv_bias),
+        feat_extract_norm=str(hf_config.feat_extract_norm),
+        feat_proj_layer_norm=bool(getattr(hf_config, "feat_proj_layer_norm", True)),
+        hidden_size=int(hf_config.hidden_size),
+        num_layers=int(hf_config.num_hidden_layers),
+        num_heads=int(hf_config.num_attention_heads),
+        intermediate_size=int(hf_config.intermediate_size),
+        do_stable_layer_norm=bool(hf_config.do_stable_layer_norm),
+        layer_norm_eps=float(hf_config.layer_norm_eps),
+        num_conv_pos_embeddings=int(hf_config.num_conv_pos_embeddings),
+        num_conv_pos_embedding_groups=int(hf_config.num_conv_pos_embedding_groups),
+    )
+    if hasattr(hf_config, "num_buckets"):
+        meta["attention_type"] = "wavlm"
+        meta["num_buckets"] = int(hf_config.num_buckets)
+        meta["max_bucket_distance"] = int(hf_config.max_bucket_distance)
+    if processor is not None:
+        fe = getattr(processor, "feature_extractor", processor)
+        meta["do_normalize"] = bool(getattr(fe, "do_normalize", True))
+    return meta
+
+
+def convert_speech_model(model: SpeechEmbeddingModel) -> None:
+    import torch  # noqa: F401 (conversion is host-side torch)
+    from dataclasses import replace
+
+    src = model.hf_source
+    log.info(f"Converting {src} ...")
+
+    if "wavlm" in src.lower():
+        from transformers import WavLMModel as HFModel
+    elif "hubert" in src.lower():
+        from transformers import HubertModel as HFModel
+    elif "mert" in src.lower():
+        # MERT ships custom modeling code; current transformers' HubertModel
+        # supports its conv_pos_batch_norm flag. The reference forces that flag
+        # off (fadtk/model_loader.py:270), matching HubertModel's default.
+        from transformers import AutoConfig, AutoModel
+
+        cfg = AutoConfig.from_pretrained(src, trust_remote_code=True)
+        if hasattr(cfg, "conv_pos_batch_norm"):
+            cfg.conv_pos_batch_norm = False
+        hf = AutoModel.from_pretrained(src, trust_remote_code=True, config=cfg)
+        HFModel = None
+    else:
+        from transformers import Wav2Vec2Model as HFModel
+
+    if HFModel is not None:
+        hf = HFModel.from_pretrained(src)
+
+    processor = None
+    try:
+        from transformers import Wav2Vec2FeatureExtractor
+
+        proc_src = src
+        if "hubert" in src.lower() and "mert" not in src.lower():
+            # Reference loads the -ft processor for both hubert sizes
+            # (fadtk/model_loader.py:581).
+            proc_src = "facebook/hubert-large-ls960-ft"
+        processor = Wav2Vec2FeatureExtractor.from_pretrained(proc_src)
+    except Exception as e:  # processor metadata is best-effort
+        log.warning(f"Could not load processor for {src}: {e}")
+
+    meta = _config_meta_from_hf(hf.config, processor)
+    cfg = replace(model.cfg, **meta)
+    params = convert_speech_encoder(hf.state_dict(), cfg)
+    params["__config__"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
+
+    out = params_path(model.weights_name())
+    save_params(params, out)
+    log.info(f"Saved {out}")
+
+
+def convert_model(name: str) -> None:
+    model = get_model(name)
+    if isinstance(model, SpeechEmbeddingModel):
+        convert_speech_model(model)
+    else:
+        raise NotImplementedError(
+            f"No converter wired for {type(model).__name__} yet"
+        )
+
+
+def main() -> None:
+    ap = ArgumentParser(description=__doc__)
+    ap.add_argument("models", nargs="*", help="registry model names")
+    ap.add_argument(
+        "--all-speech",
+        action="store_true",
+        help="convert every speech-family backbone (w2v2/hubert/wavlm/mert)",
+    )
+    args = ap.parse_args()
+
+    names = list(args.models)
+    if args.all_speech:
+        names += [
+            "w2v2-base", "w2v2-large",
+            "hubert-base", "hubert-large",
+            "wavlm-base", "wavlm-base-plus", "wavlm-large",
+            "MERT-v1-95M",
+        ]
+    for name in names:
+        convert_model(name)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,126 @@
+"""End-to-end pipeline tests with random weights: model class -> embedding cache
+-> statistics -> FAD score, exercising the same call stack as the reference CLI
+(SURVEY.md 3.1), plus the weight store roundtrip."""
+
+import os
+
+import numpy as np
+import pytest
+
+os.environ["FADTK_TPU_RANDOM_WEIGHTS"] = "1"
+
+from fadtk_tpu.audio.wavio import float_to_int16, write_wav_int16
+from fadtk_tpu.models.wav2vec2 import W2V2Model
+from fadtk_tpu.runner.fad import FrechetAudioDistance
+
+
+def _make_dataset(tmp_path, name, n_files, seed, sr=16000, seconds=2.0):
+    d = tmp_path / name
+    d.mkdir()
+    rng = np.random.default_rng(seed)
+    for i in range(n_files):
+        t = np.arange(int(sr * seconds)) / sr
+        f0 = rng.uniform(100, 2000)
+        x = 0.4 * np.sin(2 * np.pi * f0 * t) + 0.05 * rng.standard_normal(t.shape)
+        write_wav_int16(d / f"clip{i}.wav", float_to_int16(x), sr)
+    return d
+
+
+@pytest.fixture(scope="module")
+def w2v2():
+    m = W2V2Model("base", layer=12)
+    m.ensure_loaded()
+    return m
+
+
+def test_embed_shape_and_dtype(w2v2):
+    audio = np.random.default_rng(0).standard_normal(32000) * 0.1
+    emb = w2v2.get_embedding(audio)
+    assert emb.dtype == np.float16  # storage downcast parity
+    assert emb.shape[1] == 768
+    # w2v2 frame rate is 49.9 Hz: 2 s -> 99 frames
+    assert emb.shape[0] == w2v2.cfg.num_output_frames(32000)
+
+
+def test_embed_all_layers(w2v2):
+    audio = np.random.default_rng(1).standard_normal(16000) * 0.1
+    all_layers = w2v2.embed_all_layers(audio)
+    assert all_layers.shape[0] == 13
+    single = w2v2.get_embedding(audio)
+    np.testing.assert_allclose(
+        all_layers[12].astype(np.float16), single, rtol=0, atol=0
+    )
+
+
+def test_cache_score_e2e(tmp_path, w2v2):
+    baseline = _make_dataset(tmp_path, "baseline", 4, seed=0)
+    eval_dir = _make_dataset(tmp_path, "eval", 3, seed=99)
+
+    fad = FrechetAudioDistance(w2v2, load_model=False)
+    for d in (baseline, eval_dir):
+        for f in sorted(d.glob("*.wav")):
+            fad.cache_embedding_file(f)
+
+    # Cache layout parity (SURVEY.md 1: the filesystem cache contract).
+    assert (baseline / "convert" / "16000" / "clip0.wav").exists()
+    assert (baseline / "embeddings" / w2v2.name / "clip0.npy").exists()
+
+    score = fad.score(baseline, eval_dir)
+    assert np.isfinite(score) and score > 0
+    assert (baseline / "stats" / w2v2.name / "mu.npy").exists()
+
+    # Idempotency: second run must not recompute (mtime unchanged).
+    p = baseline / "embeddings" / w2v2.name / "clip0.npy"
+    mtime = p.stat().st_mtime_ns
+    fad.cache_embedding_file(sorted(baseline.glob("*.wav"))[0])
+    assert p.stat().st_mtime_ns == mtime
+
+    # Self-score is ~0 (up to sqrtm noise on rank-deficient covariances —
+    # n_frames < dim here, same order as the reference's general-eig path).
+    self_score = fad.score(baseline, baseline)
+    assert abs(self_score) < 1e-3
+
+
+def test_score_individual_and_inf(tmp_path, w2v2):
+    baseline = _make_dataset(tmp_path, "base2", 4, seed=5)
+    eval_dir = _make_dataset(tmp_path, "eval2", 3, seed=7)
+    fad = FrechetAudioDistance(w2v2, load_model=False)
+    for d in (baseline, eval_dir):
+        for f in sorted(d.glob("*.wav")):
+            fad.cache_embedding_file(f)
+
+    csv = fad.score_individual(baseline, eval_dir, tmp_path / "indiv.csv")
+    rows = csv.read_text().strip().split("\n")
+    assert len(rows) == 3
+    scores = [float(r.split(",")[1]) for r in rows]
+    assert scores == sorted(scores, key=abs)  # sorted by |score| parity
+
+    inf = fad.score_inf(baseline, sorted(eval_dir.glob("*.wav")), steps=5, min_n=50)
+    assert np.isfinite(inf.score)
+    assert len(inf.points) == 5
+    # Seeded: same seed -> same result.
+    inf2 = fad.score_inf(baseline, sorted(eval_dir.glob("*.wav")), steps=5, min_n=50)
+    assert inf.score == inf2.score
+
+
+def test_weight_store_roundtrip(tmp_path):
+    import jax
+
+    from fadtk_tpu.models.speech.config import SpeechEncoderConfig
+    from fadtk_tpu.models.speech.encoder import init_speech_encoder_params
+    from fadtk_tpu.weights.store import load_params, save_params
+
+    cfg = SpeechEncoderConfig(
+        conv_dim=(8, 8), conv_kernel=(10, 3), conv_stride=(5, 2),
+        hidden_size=16, num_layers=2, num_heads=2, intermediate_size=32,
+        num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
+    )
+    params = init_speech_encoder_params(cfg, jax.random.PRNGKey(0))
+    save_params(params, tmp_path / "p.npz")
+    loaded = load_params(tmp_path / "p.npz")
+
+    flat_a = jax.tree_util.tree_leaves(params)
+    flat_b = jax.tree_util.tree_leaves(loaded)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
