@@ -1,0 +1,88 @@
+"""`fadtk` — main CLI: FAD between two datasets with one model.
+
+Parity with the reference command (fadtk/__main__.py:9-74):
+
+    fadtk <model> <baseline> <eval> [csv] [-w N] [--inf] [--indiv]
+
+Same positional/optional arguments (including the accepted-but-inert
+--sox-path, fadtk/__main__.py:27 — our pipeline never shells out to sox), same
+CSV append format `model,baseline,eval,score,inf_r2,time`, same stdout summary.
+"""
+
+from __future__ import annotations
+
+import time
+from argparse import ArgumentParser
+from pathlib import Path
+
+from ..models.registry import get_all_models
+from ..runner.batch import cache_embedding_files
+from ..runner.fad import FrechetAudioDistance
+from ..utils import log
+
+
+def main() -> None:
+    models = {m.name: m for m in get_all_models()}
+
+    ap = ArgumentParser(prog="fadtk")
+    ap.add_argument("model", type=str, choices=list(models.keys()),
+                    help="The embedding model to use")
+    ap.add_argument("baseline", type=str, help="The baseline dataset")
+    ap.add_argument("eval", type=str, help="The directory to evaluate against")
+    ap.add_argument("csv", type=str, nargs="?",
+                    help="The CSV file to append results to. If not supplied, "
+                         "single-value results are printed to stdout; for --indiv "
+                         "results go to 'fad-individual-results.csv'")
+    ap.add_argument("-w", "--workers", type=int, default=8)
+    ap.add_argument("-s", "--sox-path", type=str, default="/usr/bin/sox",
+                    help="(accepted for reference compatibility; unused)")
+    ap.add_argument("--inf", action="store_true", help="Use FAD-inf extrapolation")
+    ap.add_argument("--indiv", action="store_true",
+                    help="Calculate FAD for individual songs and store the results "
+                         "in the given file")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="PRNG seed for --inf subsampling (the reference is "
+                         "unseeded; we default to 0 for reproducibility)")
+    args = ap.parse_args()
+
+    model = models[args.model]
+    baseline, eval_ = args.baseline, args.eval
+
+    # 1. Cache embeddings for both datasets.
+    for d in [baseline, eval_]:
+        if Path(d).is_dir():
+            cache_embedding_files(d, model, workers=args.workers)
+
+    # 2. Score.
+    fad = FrechetAudioDistance(model, audio_load_worker=args.workers, load_model=False)
+    inf_r2 = None
+    if args.inf:
+        assert Path(eval_).is_dir(), "FAD-inf requires a directory as the evaluation dataset"
+        result = fad.score_inf(baseline, sorted(Path(eval_).glob("*.*")), seed=args.seed)
+        print("FAD-inf Information:", result)
+        score, inf_r2 = result.score, result.r2
+    elif args.indiv:
+        assert Path(eval_).is_dir(), "Individual FAD requires a directory as the evaluation dataset"
+        csv_path = Path(args.csv or "fad-individual-results.csv")
+        fad.score_individual(baseline, eval_, csv_path)
+        log.info(f"Individual FAD scores saved to {csv_path}")
+        raise SystemExit(0)
+    else:
+        score = fad.score(baseline, eval_)
+
+    # 3. Report.
+    log.info("FAD computed.")
+    if args.csv:
+        csv = Path(args.csv)
+        csv.parent.mkdir(parents=True, exist_ok=True)
+        if not csv.is_file():
+            csv.write_text("model,baseline,eval,score,inf_r2,time\n")
+        with open(csv, "a") as f:
+            f.write(f"{model.name},{baseline},{eval_},{score},{inf_r2},{time.time()}\n")
+        log.info(f"FAD score appended to {args.csv}")
+
+    log.info(f"The FAD {model.name} score between {baseline} and {eval_} is: {score}")
+
+
+if __name__ == "__main__":
+    main()

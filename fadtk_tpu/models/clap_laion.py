@@ -1,13 +1,17 @@
-"""Placeholder for the CLAPLaionModel implementation (being built; see registry.py)."""
+"""LAION-CLAP (metadata stub; implementation in progress). Parity target: reference fadtk/model_loader.py:291-418."""
+
 from .base import EmbeddingModel
 
 
 class CLAPLaionModel(EmbeddingModel):
-    def __init__(self, *args, **kwargs):
-        raise NotImplementedError("CLAPLaionModel is not implemented yet")
+    def __init__(self, type):
+        super().__init__(f'clap-laion-{type}', 512, 48000)
+        self.type = type
 
     def load_model(self):
-        raise NotImplementedError
+        raise NotImplementedError(
+            "CLAPLaionModel compute path is not implemented yet in fadtk-tpu"
+        )
 
     def _embed(self, audio):
         raise NotImplementedError

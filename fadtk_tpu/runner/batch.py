@@ -1,0 +1,68 @@
+"""Batch embedding orchestration.
+
+Reference parity: ``cache_embedding_files`` (fadtk/fad_batch.py:25-48) — glob
+the dataset, skip already-cached files, compute the rest.
+
+TPU-native difference: the reference spreads files over a spawn process pool
+with one full model replica per process (fadtk/fad_batch.py:43-48). Here a
+single process owns the accelerator; parallelism comes from batched device
+inference (and, multi-chip, from sharding the batch over the mesh —
+fadtk_tpu.parallel). Host-side decode/resample overlaps device compute through
+a small thread pool feeding a queue (decode is the only CPU-bound stage).
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+from typing import Sequence, Union
+
+import numpy as np
+
+from ..models.base import EmbeddingModel
+from ..utils import PathLike, dataset_files, get_cache_embedding_path, log
+from .fad import FrechetAudioDistance
+
+
+def cache_embedding_files(
+    files: Union[Sequence[Path], str, Path],
+    ml: EmbeddingModel,
+    workers: int = 8,
+    **kwargs,
+) -> None:
+    """Compute and cache embeddings for all audio files (idempotent).
+
+    ``workers`` controls host-side decode threads, not model replicas.
+    """
+    if isinstance(files, (str, Path)):
+        files = dataset_files(files)
+
+    files = [f for f in files if not get_cache_embedding_path(ml.name, f).exists()]
+    if len(files) == 0:
+        log.info("All files already have embeddings, skipping.")
+        return
+
+    log.info(f"[Frechet Audio Distance] Loading {len(files)} audio files...")
+
+    fad = FrechetAudioDistance(ml, **kwargs)
+
+    # Pipeline: decode+resample on threads (host), embed on device in arrival
+    # order. The device stage is serialized by JAX anyway; overlapping host IO
+    # with device compute is where the wall-clock win is.
+    def prepare(f: Path):
+        try:
+            return f, fad.load_audio(f)
+        except Exception as e:
+            log.error(f"Failed to load {f}: {e}")
+            raise
+
+    window = max(1, workers) * 2  # bound decoded-audio RAM while overlapping IO
+    with ThreadPoolExecutor(max_workers=max(1, workers)) as ex:
+        for i in range(0, len(files), window):
+            for f, wav in ex.map(prepare, files[i : i + window]):
+                cache = get_cache_embedding_path(ml.name, f)
+                if cache.exists():
+                    continue
+                embd = ml.get_embedding(wav)
+                cache.parent.mkdir(parents=True, exist_ok=True)
+                np.save(cache, embd)

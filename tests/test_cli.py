@@ -1,0 +1,117 @@
+"""CLI surface tests (subprocess-free: call mains with patched argv)."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+os.environ["FADTK_TPU_RANDOM_WEIGHTS"] = "1"
+
+from fadtk_tpu.audio.wavio import float_to_int16, write_wav_int16
+
+
+def _make_dataset(tmp_path, name, n_files, seed, sr=16000, seconds=1.5):
+    d = tmp_path / name
+    d.mkdir()
+    rng = np.random.default_rng(seed)
+    for i in range(n_files):
+        t = np.arange(int(sr * seconds)) / sr
+        x = 0.3 * np.sin(2 * np.pi * rng.uniform(200, 1500) * t)
+        write_wav_int16(d / f"c{i}.wav", float_to_int16(x), sr)
+    return d
+
+
+def test_registry_names_match_reference_inventory():
+    from fadtk_tpu.models.registry import get_all_models
+
+    names = {m.name for m in get_all_models()}
+    # Spot-check the reference inventory (SURVEY.md 2.3).
+    expected = {
+        "clap-2023", "clap-laion-audio", "clap-laion-music", "vggish",
+        "MERT-v1-95M", "MERT-v1-95M-1", "MERT-v1-95M-11",
+        "encodec-emb", "encodec-emb-48k",
+        "w2v2-base", "w2v2-base-1", "w2v2-large", "w2v2-large-23",
+        "hubert-base", "hubert-large", "wavlm-base", "wavlm-base-plus",
+        "wavlm-large", "wavlm-large-23",
+        "whisper-tiny", "whisper-base", "whisper-small", "whisper-medium",
+        "whisper-large", "dac-44kHz", "cdpam-acoustic", "cdpam-content",
+    }
+    missing = expected - names
+    assert not missing, f"missing registry names: {sorted(missing)}"
+
+
+def test_fadtk_cli_plain_score(tmp_path, monkeypatch, capsys):
+    from fadtk_tpu.cli.main import main
+
+    baseline = _make_dataset(tmp_path, "b", 3, 0)
+    eval_dir = _make_dataset(tmp_path, "e", 2, 1)
+    csv = tmp_path / "out.csv"
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["fadtk", "w2v2-base", str(baseline), str(eval_dir), str(csv), "-w", "2"],
+    )
+    main()
+
+    lines = csv.read_text().strip().split("\n")
+    assert lines[0] == "model,baseline,eval,score,inf_r2,time"
+    fields = lines[1].split(",")
+    assert fields[0] == "w2v2-base"
+    assert float(fields[3]) > 0
+
+
+def test_fadtk_embeds_cli_shared_backbone(tmp_path, monkeypatch):
+    from fadtk_tpu.cli.embeds import main
+
+    d = _make_dataset(tmp_path, "d", 2, 2)
+    monkeypatch.setattr(
+        sys, "argv",
+        ["fadtk-embeds", "-m", "w2v2-base", "w2v2-base-3", "w2v2-base-7", "-d", str(d)],
+    )
+    main()
+
+    for model_name in ("w2v2-base", "w2v2-base-3", "w2v2-base-7"):
+        for i in range(2):
+            assert (d / "embeddings" / model_name / f"c{i}.npy").exists()
+
+    # Layer taps must differ from the final layer.
+    a = np.load(d / "embeddings" / "w2v2-base" / "c0.npy")
+    b = np.load(d / "embeddings" / "w2v2-base-3" / "c0.npy")
+    assert a.shape == b.shape
+    assert not np.allclose(a, b)
+
+
+def test_fadtk_package_cli(tmp_path, monkeypatch):
+    from fadtk_tpu.cli.package import main
+    from fadtk_tpu.runner.fad import FrechetAudioDistance
+    from fadtk_tpu.models.registry import get_model
+
+    d = _make_dataset(tmp_path, "p", 3, 3)
+    out = tmp_path / "mystats.npz"
+    monkeypatch.setattr(
+        sys, "argv",
+        ["fadtk-package", str(d), str(out), "--models", "w2v2-base"],
+    )
+    main()
+
+    data = np.load(out)
+    assert "w2v2-base.mu" in data and "w2v2-base.cov" in data
+    assert data["w2v2-base.mu"].shape == (768,)
+    assert data["w2v2-base.cov"].shape == (768, 768)
+
+    # The packaged npz is consumable as a stats source (reference
+    # fadtk/fad.py:259-266 resolution path b).
+    fad = FrechetAudioDistance(get_model("w2v2-base"), load_model=False)
+    mu, cov = fad.load_stats(out)
+    np.testing.assert_array_equal(mu, data["w2v2-base.mu"])
+
+
+def test_load_stats_rejects_wrong_model(tmp_path):
+    from fadtk_tpu.runner.fad import FrechetAudioDistance
+    from fadtk_tpu.models.registry import get_model
+
+    np.savez(tmp_path / "s.npz", **{"other.mu": np.zeros(4), "other.cov": np.eye(4)})
+    fad = FrechetAudioDistance(get_model("w2v2-base"), load_model=False)
+    with pytest.raises(ValueError, match="doesn't contain data for model"):
+        fad.load_stats(tmp_path / "s.npz")
