@@ -1,0 +1,118 @@
+"""Headline benchmark: embedding throughput (audio-sec/sec/chip) of the
+wav2vec2-base encoder on the available accelerator, vs the reference's CPU
+pipeline (torch, one clip at a time — fadtk processes files serially per
+process, fadtk/fad_batch.py:15-22).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "audio-sec/sec/chip", "vs_baseline": N}
+
+The CPU baseline (HF torch Wav2Vec2Model, base-960h geometry, float32, single
+clip per forward with output_hidden_states=True exactly like the reference's
+embed loop) is measured once and cached in .bench_cache/.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+SR = 16000
+CLIP_SECONDS = 10
+BATCH = 16
+CACHE = Path(__file__).parent / ".bench_cache" / "cpu_w2v2_base.json"
+
+
+def bench_tpu() -> float:
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    from fadtk_tpu.models.speech.config import SpeechEncoderConfig
+    from fadtk_tpu.models.speech.encoder import (
+        init_speech_encoder_params,
+        speech_encoder_forward,
+    )
+
+    cfg = SpeechEncoderConfig(do_normalize=False)
+    params = init_speech_encoder_params(cfg, jax.random.PRNGKey(0))
+    fwd = jax.jit(partial(speech_encoder_forward, cfg))
+
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(
+        rng.standard_normal((BATCH, CLIP_SECONDS * SR)), jnp.float32
+    ) * 0.1
+    num_valid = jnp.full((BATCH,), CLIP_SECONDS * SR, jnp.int32)
+
+    # Warmup/compile.
+    states, mask = fwd(params, audio, num_valid)
+    jax.block_until_ready(states)
+
+    iters = 10
+    start = time.perf_counter()
+    for _ in range(iters):
+        states, mask = fwd(params, audio, num_valid)
+        # Fetch the layer tap like the embed path does (device->host included).
+        np.asarray(states[cfg.num_layers])
+    elapsed = time.perf_counter() - start
+
+    audio_sec = BATCH * CLIP_SECONDS * iters
+    return audio_sec / elapsed
+
+
+def bench_cpu_reference() -> float:
+    if CACHE.exists():
+        return json.loads(CACHE.read_text())["audio_sec_per_sec"]
+
+    import torch
+    from transformers import Wav2Vec2Config, Wav2Vec2Model
+
+    torch.set_num_threads(max(1, (torch.get_num_threads() or 8)))
+    model = Wav2Vec2Model(
+        Wav2Vec2Config(
+            hidden_dropout=0.0, attention_dropout=0.0, layerdrop=0.0,
+            mask_time_prob=0.0, mask_feature_prob=0.0,
+        )
+    )
+    model.eval()
+
+    rng = np.random.default_rng(0)
+    clip = torch.from_numpy(
+        (rng.standard_normal((1, CLIP_SECONDS * SR)) * 0.1).astype(np.float32)
+    )
+
+    with torch.no_grad():
+        model(clip, output_hidden_states=True)  # warmup
+        n = 3
+        start = time.perf_counter()
+        for _ in range(n):
+            out = model(clip, output_hidden_states=True)
+            _ = torch.stack(out.hidden_states).squeeze().numpy()
+        elapsed = time.perf_counter() - start
+
+    value = n * CLIP_SECONDS / elapsed
+    CACHE.parent.mkdir(exist_ok=True)
+    CACHE.write_text(json.dumps({"audio_sec_per_sec": value}))
+    return value
+
+
+def main() -> None:
+    tpu = bench_tpu()
+    cpu = bench_cpu_reference()
+    print(
+        json.dumps(
+            {
+                "metric": "w2v2-base embedding throughput",
+                "value": round(tpu, 2),
+                "unit": "audio-sec/sec/chip",
+                "vs_baseline": round(tpu / cpu, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,220 @@
+"""Tensor-parallel speech-encoder forward + sharded statistics.
+
+The full multi-chip evaluation step: a batch of clips sharded over the ``dp``
+mesh axis runs through the speech encoder with attention heads and FFN columns
+sharded over ``tp`` (Megatron-style column/row parallel pairs: one psum per
+attention block and one per FFN), and the resulting frames feed per-device
+Welford partials merged across ``dp`` with one psum. This is the TPU-native
+replacement for the reference's process-pool model replicas
+(reference fadtk/fad_batch.py:43-48; SURVEY.md 2.5).
+
+All math is identical to models/speech/encoder.py — the single-device module
+remains the parity reference; tests assert TP == single-device.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..metric.stats import (
+    WelfordState,
+    welford_finalize,
+    welford_init,
+    welford_merge_across,
+    welford_update,
+)
+from ..models.speech.config import SpeechEncoderConfig
+from ..models.speech import encoder as enc
+
+
+def speech_param_specs(cfg: SpeechEncoderConfig, params) -> dict:
+    """PartitionSpec tree for tensor parallelism over the 'tp' axis.
+
+    Column-parallel: qkv projections, FFN intermediate (output dim sharded).
+    Row-parallel: attention out_proj, FFN output (input dim sharded, psum after).
+    Per-head leaves (WavLM gate constants, relative bias embedding) shard on the
+    head dim. Everything else is replicated.
+    """
+
+    def layer_specs(i: int, layer_params) -> dict:
+        attn = {
+            "q_proj": {"kernel": P(None, "tp"), "bias": P("tp")},
+            "k_proj": {"kernel": P(None, "tp"), "bias": P("tp")},
+            "v_proj": {"kernel": P(None, "tp"), "bias": P("tp")},
+            "out_proj": {"kernel": P("tp", None), "bias": P()},
+        }
+        if cfg.attention_type == "wavlm":
+            attn["gru_rel_pos_const"] = P("tp")
+            attn["gru_rel_pos_linear"] = {"kernel": P(), "bias": P()}
+            if "rel_attn_embed" in layer_params["attention"]:
+                attn["rel_attn_embed"] = P(None, "tp")
+        ln = {"scale": P(), "bias": P()}
+        return {
+            "attention": attn,
+            "layer_norm": ln,
+            "feed_forward": {
+                "intermediate_dense": {"kernel": P(None, "tp"), "bias": P("tp")},
+                "output_dense": {"kernel": P("tp", None), "bias": P()},
+            },
+            "final_layer_norm": ln,
+        }
+
+    replicated = jax.tree.map(lambda _: P(), params["feature_extractor"])
+    fp = jax.tree.map(lambda _: P(), params["feature_projection"])
+    return {
+        "feature_extractor": replicated,
+        "feature_projection": fp,
+        "encoder": {
+            "pos_conv": {"kernel": P(), "bias": P()},
+            "layer_norm": {"scale": P(), "bias": P()},
+            "layers": [
+                layer_specs(i, lp) for i, lp in enumerate(params["encoder"]["layers"])
+            ],
+        },
+    }
+
+
+def _tp_attention(cfg, p, x, key_bias, position_bias, tp_axis):
+    """Head-sharded attention: local heads contract, psum after out_proj."""
+    local_heads = p["q_proj"]["kernel"].shape[1] // cfg.head_dim
+
+    q = x @ p["q_proj"]["kernel"] + p["q_proj"]["bias"]
+    k = x @ p["k_proj"]["kernel"] + p["k_proj"]["bias"]
+    v = x @ p["v_proj"]["kernel"] + p["v_proj"]["bias"]
+
+    def split(t):
+        b, s, _ = t.shape
+        return t.reshape(b, s, local_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+
+    bias = key_bias
+    if cfg.attention_type == "wavlm":
+        # Per-head gate from the *unprojected* hidden states: slice this
+        # device's heads out of the replicated activations.
+        b, t, _ = x.shape
+        shard = jax.lax.axis_index(tp_axis)
+        heads_global = x.shape[-1] // cfg.head_dim
+        xh = x.reshape(b, t, heads_global, cfg.head_dim).transpose(0, 2, 1, 3)
+        xh = jax.lax.dynamic_slice_in_dim(xh, shard * local_heads, local_heads, axis=1)
+        proj = xh @ p["gru_rel_pos_linear"]["kernel"] + p["gru_rel_pos_linear"]["bias"]
+        proj = proj.reshape(b, local_heads, t, 2, 4).sum(-1)
+        gates = jax.nn.sigmoid(proj)
+        gate = gates[..., 0] * (gates[..., 1] * p["gru_rel_pos_const"].reshape(1, -1, 1) - 1.0) + 2.0
+        bias = bias + gate[..., None] * position_bias[None]
+
+    out = enc._attention_core(split(q), split(k), split(v), bias)
+    out = out @ p["out_proj"]["kernel"]
+    out = jax.lax.psum(out, tp_axis)
+    return out + p["out_proj"]["bias"]
+
+
+def _tp_feed_forward(p, x, tp_axis):
+    h = enc._gelu(x @ p["intermediate_dense"]["kernel"] + p["intermediate_dense"]["bias"])
+    y = jax.lax.psum(h @ p["output_dense"]["kernel"], tp_axis)
+    return y + p["output_dense"]["bias"]
+
+
+def _tp_encoder_layer(cfg, p, x, key_bias, position_bias, tp_axis):
+    attn = lambda y: _tp_attention(cfg, p["attention"], y, key_bias, position_bias, tp_axis)
+    if cfg.do_stable_layer_norm:
+        x = x + attn(enc._layer_norm(x, p["layer_norm"], cfg.layer_norm_eps))
+        x = x + _tp_feed_forward(
+            p["feed_forward"], enc._layer_norm(x, p["final_layer_norm"], cfg.layer_norm_eps), tp_axis
+        )
+    else:
+        x = enc._layer_norm(x + attn(x), p["layer_norm"], cfg.layer_norm_eps)
+        x = enc._layer_norm(
+            x + _tp_feed_forward(p["feed_forward"], x, tp_axis),
+            p["final_layer_norm"],
+            cfg.layer_norm_eps,
+        )
+    return x
+
+
+def _tp_forward(cfg: SpeechEncoderConfig, params, audio, num_valid, tp_axis="tp"):
+    """Single-dp-shard forward with tp-sharded params. Mirrors
+    models/speech/encoder.speech_encoder_forward with psums at the row-parallel
+    boundaries."""
+    b, t_samples = audio.shape
+
+    if cfg.do_normalize:
+        smask = (jnp.arange(t_samples)[None, :] < num_valid[:, None]).astype(audio.dtype)
+        n = jnp.maximum(num_valid.astype(audio.dtype), 1.0)[:, None]
+        mean = jnp.sum(audio * smask, axis=1, keepdims=True) / n
+        var = jnp.sum(jnp.square(audio - mean) * smask, axis=1, keepdims=True) / n
+        audio = (audio - mean) / jnp.sqrt(var + 1e-7) * smask
+
+    feats, frame_mask, _ = jax.vmap(
+        lambda a, nv: enc._feature_extractor_single(cfg, params["feature_extractor"], a, nv)
+    )(audio, num_valid)
+
+    fp = params["feature_projection"]
+    x = feats
+    if cfg.feat_proj_layer_norm:
+        x = enc._layer_norm(x, fp["layer_norm"], cfg.layer_norm_eps)
+    x = x @ fp["projection"]["kernel"] + fp["projection"]["bias"]
+    x = x * frame_mask[..., None]
+
+    ep = params["encoder"]
+    x = x + enc.pos_conv_embedding(cfg, ep["pos_conv"], x)
+    if not cfg.do_stable_layer_norm:
+        x = enc._layer_norm(x, ep["layer_norm"], cfg.layer_norm_eps)
+
+    neg = jnp.asarray(jnp.finfo(x.dtype).min, x.dtype)
+    key_bias = (1.0 - frame_mask)[:, None, None, :] * neg
+
+    position_bias = None
+    if cfg.attention_type == "wavlm":
+        # Local heads of the shared (layer-0) relative bias table.
+        t_frames = x.shape[1]
+        rel = params["encoder"]["layers"][0]["attention"]["rel_attn_embed"]
+        position_bias = enc.wavlm_position_bias(
+            replace(cfg, num_buckets=rel.shape[0]), rel, t_frames
+        )
+
+    states = [x]
+    for p in ep["layers"]:
+        x = _tp_encoder_layer(cfg, p, x, key_bias, position_bias, tp_axis)
+        states.append(x)
+    if cfg.do_stable_layer_norm:
+        states[-1] = enc._layer_norm(states[-1], ep["layer_norm"], cfg.layer_norm_eps)
+
+    return jnp.stack(states, axis=0), frame_mask
+
+
+def make_sharded_eval_step(cfg: SpeechEncoderConfig, params, mesh: Mesh, layer: int):
+    """Build the jitted multi-chip evaluation step.
+
+    step(audio (B, T) sharded over dp, num_valid (B,)) ->
+        (mu, cov, n) dataset-statistics partials over the *whole* batch —
+    embeddings stay on-device; only the (D,) + (D, D) statistics come back.
+    """
+    specs = speech_param_specs(cfg, params)
+
+    def step(p, audio, num_valid):
+        states, frame_mask = _tp_forward(cfg, p, audio, num_valid)
+        frames = states[layer]  # (b_local, t, d)
+        d = frames.shape[-1]
+        flat = frames.reshape(-1, d)
+        # float16 storage parity: scores are computed from cached float16
+        # embeddings in the reference (fadtk/model_loader.py:47-48).
+        flat = flat.astype(jnp.float16).astype(jnp.float32)
+        mask = frame_mask.reshape(-1)
+        st = welford_update(welford_init(d), flat, mask)
+        st = welford_merge_across(st, "dp")
+        mu, cov = welford_finalize(st)
+        return mu, cov, st.n
+
+    return jax.jit(
+        shard_map(
+            step,
+            mesh=mesh,
+            in_specs=(specs, P("dp", None), P("dp")),
+            out_specs=(P(), P(), P()),
+        )
+    )

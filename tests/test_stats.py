@@ -106,7 +106,7 @@ def test_device_welford_masked_matches_unmasked():
 def test_sharded_welford_equals_single_device():
     """Per-device partials merged with one psum == single-device statistics."""
     from jax.sharding import Mesh, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     n_dev = len(jax.devices())
     assert n_dev == 8, f"conftest should provide 8 cpu devices, got {n_dev}"
