@@ -1,0 +1,125 @@
+"""STFT / log-mel frontends.
+
+``vggish_log_mel_examples`` reproduces the TF-VGGish feature pipeline that the
+reference's torch.hub VGGish model applies inside ``forward(audio, sr)``
+(reference fadtk/model_loader.py:107-108): 25 ms periodic-Hann windows, 10 ms
+hop, |rfft(512)|, 64 HTK-mel bands over 125-7500 Hz, log(mel + 0.01), framed
+into non-overlapping 0.96 s examples of 96 frames.
+
+Device mapping: framing is one strided-patch op, the windowed DFT and the mel
+projection are dense GEMMs on the MXU (real/imag DFT bases as matrices — the
+frame length is only 400, so the O(F*N) matmul formulation beats FFT lowering
+on TPU and fuses with the mel projection).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# TF-VGGish constants (vggish_params / mel_features in the torch.hub dep).
+VGGISH_SR = 16000
+_WINDOW = int(round(VGGISH_SR * 0.025))  # 400
+_HOP = int(round(VGGISH_SR * 0.010))  # 160
+_FFT = 512  # 2 ** ceil(log2(400))
+_MEL_BINS = 64
+_MEL_MIN_HZ = 125.0
+_MEL_MAX_HZ = 7500.0
+_LOG_OFFSET = 0.01
+_EXAMPLE_FRAMES = 96  # 0.96 s at the 100 Hz feature rate, hop == length
+
+_MEL_BREAK_HZ = 700.0
+_MEL_HIGH_Q = 1127.0
+
+
+def hertz_to_mel(f):
+    """HTK mel scale, natural-log variant used by TF-VGGish."""
+    return _MEL_HIGH_Q * np.log(1.0 + np.asarray(f, np.float64) / _MEL_BREAK_HZ)
+
+
+def mel_filterbank(
+    num_mel_bins: int,
+    num_spectrogram_bins: int,
+    sample_rate: float,
+    lower_edge_hertz: float,
+    upper_edge_hertz: float,
+) -> np.ndarray:
+    """TF ``spectrogram_to_mel_matrix``: triangular overlapping bands, linear in
+    mel, first spectrogram bin (DC) zeroed. Shape (num_spectrogram_bins, mels)."""
+    nyquist = sample_rate / 2.0
+    spec_mel = hertz_to_mel(np.linspace(0.0, nyquist, num_spectrogram_bins))
+    edges = np.linspace(
+        hertz_to_mel(lower_edge_hertz), hertz_to_mel(upper_edge_hertz), num_mel_bins + 2
+    )
+    w = np.empty((num_spectrogram_bins, num_mel_bins))
+    for i in range(num_mel_bins):
+        lower, center, upper = edges[i : i + 3]
+        lower_slope = (spec_mel - lower) / (center - lower)
+        upper_slope = (upper - spec_mel) / (upper - center)
+        w[:, i] = np.maximum(0.0, np.minimum(lower_slope, upper_slope))
+    w[0, :] = 0.0
+    return w
+
+
+def periodic_hann(n: int) -> np.ndarray:
+    """TF-VGGish uses the periodic (DFT-even) Hann, not numpy's symmetric one."""
+    return 0.5 - 0.5 * np.cos(2.0 * np.pi / n * np.arange(n))
+
+
+@lru_cache(maxsize=8)
+def _vggish_bases() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(windowed DFT real/imag bases (W, F), mel matrix (F, M)) in float32."""
+    window = periodic_hann(_WINDOW)
+    k = np.arange(_FFT // 2 + 1)
+    n = np.arange(_WINDOW)
+    phase = -2.0 * np.pi * np.outer(n, k) / _FFT  # rfft with zero-padding to 512
+    dft_re = (np.cos(phase) * window[:, None]).astype(np.float32)
+    dft_im = (np.sin(phase) * window[:, None]).astype(np.float32)
+    mel = mel_filterbank(_MEL_BINS, _FFT // 2 + 1, VGGISH_SR, _MEL_MIN_HZ, _MEL_MAX_HZ)
+    return dft_re, dft_im, mel.astype(np.float32)
+
+
+@partial(jax.jit, static_argnames=())
+def _log_mel_device(frames: jax.Array) -> jax.Array:
+    """(N, 400) windowed frames -> (N, 64) log-mel, all GEMMs."""
+    dft_re, dft_im, mel = _vggish_bases()
+    re = frames @ jnp.asarray(dft_re)
+    im = frames @ jnp.asarray(dft_im)
+    mag = jnp.sqrt(re * re + im * im)
+    return jnp.log(mag @ jnp.asarray(mel) + _LOG_OFFSET)
+
+
+def vggish_num_examples(num_samples: int) -> int:
+    if num_samples < _WINDOW:
+        return 0
+    num_frames = 1 + (num_samples - _WINDOW) // _HOP
+    return num_frames // _EXAMPLE_FRAMES
+
+
+def vggish_log_mel_examples(audio: jax.Array) -> jax.Array:
+    """(T,) float waveform at 16 kHz -> (n_examples, 96, 64) log-mel examples.
+
+    Matches TF-VGGish ``waveform_to_examples`` (the partial tail example is
+    dropped by the non-overlapping example framing).
+    """
+    t = audio.shape[0]
+    num_frames = 0 if t < _WINDOW else 1 + (t - _WINDOW) // _HOP
+    n_examples = num_frames // _EXAMPLE_FRAMES
+    if n_examples == 0:
+        return jnp.zeros((0, _EXAMPLE_FRAMES, _MEL_BINS), jnp.float32)
+
+    used = (n_examples * _EXAMPLE_FRAMES - 1) * _HOP + _WINDOW
+    x = audio[:used].astype(jnp.float32)
+    # Strided framing as a patch op: (1, used, 1) -> (1, n_frames, W).
+    patches = jax.lax.conv_general_dilated_patches(
+        x[None, :, None],
+        filter_shape=(_WINDOW,),
+        window_strides=(_HOP,),
+        padding="VALID",
+        dimension_numbers=("NHC", "HIO", "NHC"),
+    )[0]
+    log_mel = _log_mel_device(patches)
+    return log_mel.reshape(n_examples, _EXAMPLE_FRAMES, _MEL_BINS)

@@ -103,10 +103,26 @@ def convert_speech_model(model: SpeechEmbeddingModel) -> None:
     log.info(f"Saved {out}")
 
 
+def convert_vggish_model() -> None:
+    """torch.hub harritaylor/torchvggish -> vggish.npz (reference
+    fadtk/model_loader.py:99 loads the same hub checkpoint)."""
+    import torch
+
+    from .vggish import convert_vggish
+
+    hub = torch.hub.load("harritaylor/torchvggish", "vggish")
+    params = convert_vggish(hub.state_dict())
+    out = params_path("vggish")
+    save_params(params, out)
+    log.info(f"Saved {out}")
+
+
 def convert_model(name: str) -> None:
     model = get_model(name)
     if isinstance(model, SpeechEmbeddingModel):
         convert_speech_model(model)
+    elif name == "vggish":
+        convert_vggish_model()
     else:
         raise NotImplementedError(
             f"No converter wired for {type(model).__name__} yet"
