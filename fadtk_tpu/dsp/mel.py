@@ -92,6 +92,91 @@ def _log_mel_device(frames: jax.Array) -> jax.Array:
     return jnp.log(mag @ jnp.asarray(mel) + _LOG_OFFSET)
 
 
+# --------------------------------------------------------------------------- #
+# Whisper frontend (HF WhisperFeatureExtractor semantics)
+# --------------------------------------------------------------------------- #
+
+WHISPER_SR = 16000
+WHISPER_SAMPLES = 30 * WHISPER_SR  # fixed 30 s window (pad/truncate)
+_W_FFT = 400
+_W_HOP = 160
+_W_MELS = 80
+
+
+def _hz_to_mel_slaney(f):
+    f = np.asarray(f, np.float64)
+    mels = 3.0 * f / 200.0
+    log_region = f >= 1000.0
+    return np.where(
+        log_region, 15.0 + np.log(np.maximum(f, 1e-10) / 1000.0) / np.log(6.4) * 27.0, mels
+    )
+
+
+def _mel_to_hz_slaney(m):
+    m = np.asarray(m, np.float64)
+    f = 200.0 * m / 3.0
+    log_region = m >= 15.0
+    return np.where(log_region, 1000.0 * np.exp(np.log(6.4) / 27.0 * (m - 15.0)), f)
+
+
+def mel_filterbank_slaney(
+    num_mel_bins: int, num_spectrogram_bins: int, sample_rate: float,
+    min_hz: float, max_hz: float,
+) -> np.ndarray:
+    """librosa-style slaney-scale, slaney-normalized triangular filterbank
+    (== transformers.audio_utils.mel_filter_bank(norm='slaney',
+    mel_scale='slaney'), tested against it). Shape (spec_bins, mels)."""
+    fft_freqs = np.linspace(0.0, sample_rate / 2.0, num_spectrogram_bins)
+    mel_pts = np.linspace(_hz_to_mel_slaney(min_hz), _hz_to_mel_slaney(max_hz), num_mel_bins + 2)
+    hz_pts = _mel_to_hz_slaney(mel_pts)
+
+    fdiff = np.diff(hz_pts)
+    ramps = hz_pts[None, :] - fft_freqs[:, None]  # (bins, mels + 2)
+    lower = -ramps[:, :-2] / fdiff[None, :-1]
+    upper = ramps[:, 2:] / fdiff[None, 1:]
+    fb = np.maximum(0.0, np.minimum(lower, upper))
+    enorm = 2.0 / (hz_pts[2:] - hz_pts[:-2])
+    return fb * enorm[None, :]
+
+
+@lru_cache(maxsize=4)
+def _whisper_bases() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    window = periodic_hann(_W_FFT)
+    k = np.arange(_W_FFT // 2 + 1)
+    n = np.arange(_W_FFT)
+    phase = -2.0 * np.pi * np.outer(n, k) / _W_FFT
+    dft_re = (np.cos(phase) * window[:, None]).astype(np.float32)
+    dft_im = (np.sin(phase) * window[:, None]).astype(np.float32)
+    mel = mel_filterbank_slaney(_W_MELS, _W_FFT // 2 + 1, WHISPER_SR, 0.0, 8000.0)
+    return dft_re, dft_im, mel.astype(np.float32)
+
+
+@jax.jit
+def whisper_log_mel(audio: jax.Array) -> jax.Array:
+    """(B, 480000) 16 kHz audio -> (B, 80, 3000) normalized log-mel features.
+
+    Matches HF WhisperFeatureExtractor: centered reflect-padded STFT (periodic
+    Hann 400 / hop 160), power spectrum, slaney mel, log10 clamp at 1e-10,
+    per-clip dynamic-range clamp (max - 8), then (x + 4) / 4.
+    """
+    dft_re, dft_im, mel = _whisper_bases()
+    x = jnp.pad(audio.astype(jnp.float32), ((0, 0), (_W_FFT // 2, _W_FFT // 2)), mode="reflect")
+    patches = jax.lax.conv_general_dilated_patches(
+        x[..., None], filter_shape=(_W_FFT,), window_strides=(_W_HOP,),
+        padding="VALID", dimension_numbers=("NHC", "HIO", "NHC"),
+    )  # (B, n_frames, 400)
+    patches = patches[:, :-1]  # HF drops the last frame
+    re = patches @ jnp.asarray(dft_re)
+    im = patches @ jnp.asarray(dft_im)
+    power = re * re + im * im
+    mel_spec = power @ jnp.asarray(mel)  # (B, frames, 80)
+    log_spec = jnp.log10(jnp.maximum(mel_spec, 1e-10))
+    max_val = jnp.max(log_spec, axis=(1, 2), keepdims=True)
+    log_spec = jnp.maximum(log_spec, max_val - 8.0)
+    log_spec = (log_spec + 4.0) / 4.0
+    return log_spec.transpose(0, 2, 1)  # (B, 80, frames)
+
+
 def vggish_num_examples(num_samples: int) -> int:
     if num_samples < _WINDOW:
         return 0

@@ -1,18 +1,79 @@
-"""Whisper (metadata stub; implementation in progress). Parity target: reference fadtk/model_loader.py:636-672."""
+"""Whisper embedding models.
 
+Parity target: reference fadtk/model_loader.py:636-672 — `whisper-{tiny,base,
+small,medium,large}` at 16 kHz. The reference runs the HF feature extractor
+(one fixed 30 s window: pad or truncate) and a full seq2seq forward with two
+forced decoder-start tokens, taking the decoder last_hidden_state — exactly 2
+embedding frames per clip. That quirk is reproduced faithfully (SURVEY.md 2.3).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import numpy as np
+
+from ..dsp.mel import WHISPER_SAMPLES, whisper_log_mel
+from ..utils import log
 from .base import EmbeddingModel
+from .whisper_impl import (
+    WhisperConfig,
+    config_for_size,
+    init_whisper_params,
+    whisper_forward,
+)
+
+
+@lru_cache(maxsize=8)
+def _jitted(cfg: WhisperConfig):
+    return jax.jit(partial(whisper_forward, cfg))
 
 
 class WhisperModel(EmbeddingModel):
-    def __init__(self, size):
-        dims = {'tiny': 384, 'base': 512, 'small': 768, 'medium': 1024, 'large': 1280}
-        super().__init__(f'whisper-{size}', dims[size], 16000)
+    def __init__(self, size: str):
+        dims = {"tiny": 384, "base": 512, "small": 768, "medium": 1024, "large": 1280}
+        assert size in dims, f"unknown whisper size {size}"
+        super().__init__(f"whisper-{size}", dims[size], 16000)
         self.size = size
+        self.cfg = config_for_size(size)
+        self.hf_source = f"openai/whisper-{size}"
+        self.params = None
 
-    def load_model(self):
-        raise NotImplementedError(
-            "WhisperModel compute path is not implemented yet in fadtk-tpu"
+    def weights_name(self) -> str:
+        return self.hf_source.replace("/", "__")
+
+    def load_model(self) -> None:
+        import json
+        from dataclasses import replace
+
+        from ..weights.store import (
+            MissingWeightsError,
+            load_params,
+            params_path,
+            random_weights_enabled,
         )
 
-    def _embed(self, audio):
-        raise NotImplementedError
+        path = params_path(self.weights_name())
+        if path.exists():
+            stored = load_params(path)
+            meta = stored.pop("__config__", None)
+            if meta is not None:
+                self.cfg = replace(self.cfg, **json.loads(bytes(np.asarray(meta)).decode()))
+            self.params = stored
+        elif random_weights_enabled():
+            log.warning(f"{self.name}: using RANDOM weights (FADTK_TPU_RANDOM_WEIGHTS=1)")
+            self.params = init_whisper_params(self.cfg, jax.random.PRNGKey(0))
+        else:
+            raise MissingWeightsError(self.weights_name(), f"HF id {self.hf_source}")
+        self.loaded = True
+
+    def _embed(self, audio: np.ndarray) -> np.ndarray:
+        # HF feature extractor: one fixed 30 s window (pad with zeros/truncate).
+        clip = np.zeros(WHISPER_SAMPLES, np.float32)
+        n = min(audio.shape[0], WHISPER_SAMPLES)
+        clip[:n] = audio[:n].astype(np.float32)
+
+        features = whisper_log_mel(clip[None])  # (1, 80, 3000)
+        out = _jitted(self.cfg)(self.params, features)  # (1, 2, d)
+        return np.asarray(out[0])
