@@ -1,17 +1,127 @@
-"""Encodec encoder embeddings (metadata stub; implementation in progress). Parity target: reference fadtk/model_loader.py:111-186."""
+"""EnCodec embedding models.
 
+Parity target: reference fadtk/model_loader.py:111-186 —
+
+- `encodec-emb` (24 kHz): mono, whole-file single pass through the SEANet
+  encoder (the model is unsegmented, :135-137);
+- `encodec-emb-48k` (48 kHz): stereo (mono is duplicated by convert_audio,
+  :170), non-overlapping 1 s segments (stride == segment_length, :139-152).
+
+Both truncate at 3 minutes in load_wav (:172-174). Embeddings are the
+continuous encoder latents (128 features), not quantized codes. The reference
+sets a target bandwidth (:126-129) but that only configures the quantizer,
+which the embedding path never touches.
+
+TPU notes: the 48k segments are a natural static-shape batch (all full segments
+share (2, 48000)); the 24k whole-file path runs at exact length so the
+reflect-padding semantics match upstream bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import replace
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import log
 from .base import EmbeddingModel
+from .encodec_impl import (
+    CONFIG_24K,
+    CONFIG_48K,
+    EncodecEncoderConfig,
+    encodec_encode,
+    init_encodec_params,
+)
+
+
+@lru_cache(maxsize=8)
+def _jitted(cfg: EncodecEncoderConfig):
+    return jax.jit(partial(encodec_encode, cfg))
 
 
 class EncodecEmbModel(EmbeddingModel):
-    def __init__(self, variant='24k'):
-        super().__init__('encodec-emb' if variant == '24k' else f'encodec-emb-{variant}', 128, 24000 if variant == '24k' else 48000)
+    def __init__(self, variant: str = "24k"):
+        assert variant in ("24k", "48k")
+        super().__init__(
+            "encodec-emb" if variant == "24k" else f"encodec-emb-{variant}",
+            128,
+            sr=24000 if variant == "24k" else 48000,
+        )
         self.variant = variant
+        self.cfg = CONFIG_24K if variant == "24k" else CONFIG_48K
+        self.segment_length = None if variant == "24k" else self.sr  # 1 s segments
+        self.params = None
 
-    def load_model(self):
-        raise NotImplementedError(
-            "EncodecEmbModel compute path is not implemented yet in fadtk-tpu"
+    def weights_name(self) -> str:
+        return f"encodec_{self.variant}"
+
+    def load_model(self) -> None:
+        from ..weights.store import (
+            MissingWeightsError,
+            load_params,
+            params_path,
+            random_weights_enabled,
         )
 
-    def _embed(self, audio):
-        raise NotImplementedError
+        path = params_path(self.weights_name())
+        if path.exists():
+            stored = load_params(path)
+            meta = stored.pop("__config__", None)
+            if meta is not None:
+                self.cfg = replace(self.cfg, **json.loads(bytes(np.asarray(meta)).decode()))
+            self.params = stored
+        elif random_weights_enabled():
+            log.warning(f"{self.name}: using RANDOM weights (FADTK_TPU_RANDOM_WEIGHTS=1)")
+            self.params = init_encodec_params(self.cfg, jax.random.PRNGKey(0))
+        else:
+            raise MissingWeightsError(
+                self.weights_name(), f"HF id facebook/encodec_{self.variant}hz"
+            )
+        self.loaded = True
+
+    def load_wav(self, wav_file) -> np.ndarray:
+        """Parity: fadtk/model_loader.py:165-176 — channel conversion (mono is
+        duplicated for the stereo 48k model) and the 3-minute cut."""
+        from ..audio.wavio import read_wav_int16
+
+        data, _sr = read_wav_int16(wav_file)  # mono int16 from the convert cache
+        wav = (data / 32768.0).astype(np.float32)
+        if wav.ndim == 1:
+            wav = wav[None, :]  # (1, T)
+        if self.cfg.audio_channels == 2 and wav.shape[0] == 1:
+            wav = np.repeat(wav, 2, axis=0)
+
+        limit = 3 * 60 * self.sr
+        if wav.shape[1] > limit:
+            wav = wav[:, :limit]
+        return wav  # (channels, T)
+
+    def _embed(self, audio: np.ndarray) -> np.ndarray:
+        audio = np.asarray(audio, np.float32)
+        if audio.ndim == 1:
+            audio = audio[None, :]
+        fwd = _jitted(self.cfg)
+
+        if self.segment_length is None:
+            out = fwd(self.params, jnp.asarray(audio[None]))  # (1, T', 128)
+            return np.asarray(out[0])
+
+        # 48k: non-overlapping 1 s segments; full segments batch together.
+        seg = self.segment_length
+        length = audio.shape[1]
+        n_full = length // seg
+        outs = []
+        if n_full:
+            stacked = audio[:, : n_full * seg].reshape(audio.shape[0], n_full, seg)
+            stacked = np.moveaxis(stacked, 1, 0)  # (n_full, C, seg)
+            outs.append(np.asarray(fwd(self.params, jnp.asarray(stacked))))
+        rem = length - n_full * seg
+        if rem:
+            tail = audio[None, :, n_full * seg :]
+            outs.append(np.asarray(fwd(self.params, jnp.asarray(tail))))
+        frames = [o.reshape(-1, self.num_features) for o in outs]
+        return np.concatenate(frames, axis=0)

@@ -117,12 +117,64 @@ def convert_vggish_model() -> None:
     log.info(f"Saved {out}")
 
 
+def convert_whisper_model(model) -> None:
+    import json as _json
+
+    from transformers import WhisperModel as HFModel
+
+    from .whisper import convert_whisper
+
+    hf = HFModel.from_pretrained(model.hf_source)
+    c = hf.config
+    meta = dict(
+        d_model=int(c.d_model),
+        encoder_layers=int(c.encoder_layers),
+        encoder_heads=int(c.encoder_attention_heads),
+        decoder_layers=int(c.decoder_layers),
+        decoder_heads=int(c.decoder_attention_heads),
+        encoder_ffn=int(c.encoder_ffn_dim),
+        decoder_ffn=int(c.decoder_ffn_dim),
+        num_mel_bins=int(c.num_mel_bins),
+        max_source_positions=int(c.max_source_positions),
+        max_target_positions=int(c.max_target_positions),
+        vocab_size=int(c.vocab_size),
+        decoder_start_token_id=int(c.decoder_start_token_id),
+    )
+    from dataclasses import replace
+
+    cfg = replace(model.cfg, **meta)
+    params = convert_whisper(hf.state_dict(), cfg)
+    params["__config__"] = np.frombuffer(_json.dumps(meta).encode(), dtype=np.uint8)
+    out = params_path(model.weights_name())
+    save_params(params, out)
+    log.info(f"Saved {out}")
+
+
+def convert_encodec_model(model) -> None:
+    from transformers import EncodecModel as HFModel
+
+    from .encodec import convert_encodec_encoder
+
+    hf = HFModel.from_pretrained(f"facebook/encodec_{model.variant}hz")
+    params = convert_encodec_encoder(hf.state_dict(), model.cfg)
+    out = params_path(model.weights_name())
+    save_params(params, out)
+    log.info(f"Saved {out}")
+
+
 def convert_model(name: str) -> None:
+    from ..models.encodec import EncodecEmbModel
+    from ..models.whisper import WhisperModel as TpuWhisper
+
     model = get_model(name)
     if isinstance(model, SpeechEmbeddingModel):
         convert_speech_model(model)
     elif name == "vggish":
         convert_vggish_model()
+    elif isinstance(model, TpuWhisper):
+        convert_whisper_model(model)
+    elif isinstance(model, EncodecEmbModel):
+        convert_encodec_model(model)
     else:
         raise NotImplementedError(
             f"No converter wired for {type(model).__name__} yet"
