@@ -1,0 +1,145 @@
+"""CLAP/HTSAT tests: bicubic interp matrix vs torch, Swin audio tower vs HF
+ClapAudioModel (small config and real HTSAT-tiny geometry), projection parity."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp
+
+from fadtk_tpu.models.htsat import (
+    HTSATConfig,
+    bicubic_interp_matrix,
+    clap_audio_projection,
+    htsat_forward,
+)
+from fadtk_tpu.weights.clap import convert_clap_audio
+
+
+def test_bicubic_matrix_matches_torch():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((1, 1, 100, 16)).astype(np.float32)
+    ref = (
+        torch.nn.functional.interpolate(
+            torch.from_numpy(x), (256, 16), mode="bicubic", align_corners=True
+        )
+        .numpy()
+    )
+    m = bicubic_interp_matrix(100, 256)
+    ours = np.einsum("ot,bcts->bcos", m, x)
+    np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+def _hf_audio_model(cfg: HTSATConfig, seed: int, projection: bool):
+    from transformers.models.clap.configuration_clap import ClapAudioConfig
+    from transformers.models.clap.modeling_clap import (
+        ClapAudioModel,
+        ClapAudioModelWithProjection,
+    )
+
+    hf_cfg = ClapAudioConfig(
+        spec_size=cfg.spec_size,
+        patch_size=cfg.patch_size,
+        patch_stride=[cfg.patch_stride, cfg.patch_stride],
+        num_mel_bins=cfg.num_mel_bins,
+        window_size=cfg.window_size,
+        depths=list(cfg.depths),
+        num_attention_heads=list(cfg.num_heads),
+        patch_embeds_hidden_size=cfg.embed_dim,
+        num_classes=10,
+        enable_fusion=False,
+        drop_path_rate=0.0,
+        attention_probs_dropout_prob=0.0,
+        hidden_dropout_prob=0.0,
+        projection_dim=32,
+        projection_hidden_act="relu",
+    )
+    torch.manual_seed(seed)
+    model = (ClapAudioModelWithProjection if projection else ClapAudioModel)(hf_cfg)
+    return model.eval()
+
+
+SMALL = HTSATConfig(
+    spec_size=64, patch_size=4, patch_stride=4, num_mel_bins=16, window_size=4,
+    depths=(1, 1), num_heads=(2, 4), embed_dim=8,
+)
+
+
+def test_htsat_small_matches_hf():
+    hf = _hf_audio_model(SMALL, seed=0, projection=False)
+    # Perturb batch-norm stats so that path is actually exercised.
+    with torch.no_grad():
+        hf.audio_encoder.batch_norm.running_mean.uniform_(-0.5, 0.5)
+        hf.audio_encoder.batch_norm.running_var.uniform_(0.5, 1.5)
+
+    rng = np.random.default_rng(1)
+    feats = rng.standard_normal((2, 1, 100, 16)).astype(np.float32)
+
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(feats)).pooler_output.numpy()
+
+    sd = {f"audio_model.{k}": v for k, v in hf.state_dict().items()}
+    params = convert_clap_audio(sd, SMALL)
+    ours = np.asarray(htsat_forward(SMALL, params, jnp.asarray(feats)))
+    np.testing.assert_allclose(ours, ref, atol=3e-4)
+
+
+def test_htsat_tiny_real_geometry_matches_hf():
+    from fadtk_tpu.models.htsat import HTSAT_TINY
+
+    hf = _hf_audio_model(HTSAT_TINY, seed=2, projection=True)
+    rng = np.random.default_rng(2)
+    feats = rng.standard_normal((1, 1, 1001, 64)).astype(np.float32) * 0.5
+
+    with torch.no_grad():
+        out = hf(torch.from_numpy(feats))
+        ref = out.audio_embeds.numpy()
+
+    params = convert_clap_audio(hf.state_dict(), HTSAT_TINY)
+    pooled = htsat_forward(HTSAT_TINY, params, jnp.asarray(feats))
+    ours = np.asarray(clap_audio_projection(params["audio_projection"], pooled))
+    np.testing.assert_allclose(ours, ref, atol=5e-4)
+
+
+def test_laion_checkpoint_key_style():
+    """Converter must accept the original laion_clap tree (fused qkv)."""
+    hf = _hf_audio_model(SMALL, seed=3, projection=False)
+    sd = hf.state_dict()
+
+    laion_sd = {}
+    for k, v in sd.items():
+        k2 = "audio_branch." + k.removeprefix("audio_encoder.")
+        k2 = (
+            k2.replace("batch_norm", "bn0")
+            .replace(".attention.self.", ".attn.")
+            .replace(".attention.output.dense", ".attn.proj")
+            .replace("layernorm_before", "norm1")
+            .replace("layernorm_after", "norm2")
+            .replace(".intermediate.dense", ".mlp.fc1")
+            .replace(".output.dense", ".mlp.fc2")
+        )
+        laion_sd[k2] = v
+    # Fuse q/k/v like the original checkpoints.
+    fused = {}
+    for k in list(laion_sd):
+        if ".attn.query.weight" in k:
+            base = k.replace(".query.weight", "")
+            for suffix in ("weight", "bias"):
+                fused[f"{base}.qkv.{suffix}"] = torch.cat(
+                    [laion_sd[f"{base}.{n}.{suffix}"] for n in ("query", "key", "value")]
+                )
+            for n in ("query", "key", "value"):
+                for suffix in ("weight", "bias"):
+                    del laion_sd[f"{base}.{n}.{suffix}"]
+            # relative bias table lives under attn. already
+    laion_sd.update(fused)
+    laion_sd = {f"module.{k}": v for k, v in laion_sd.items()}
+
+    rng = np.random.default_rng(3)
+    feats = rng.standard_normal((1, 1, 64, 16)).astype(np.float32)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(feats)).pooler_output.numpy()
+    params = convert_clap_audio(laion_sd, SMALL)
+    ours = np.asarray(htsat_forward(SMALL, params, jnp.asarray(feats)))
+    np.testing.assert_allclose(ours, ref, atol=3e-4)
