@@ -177,6 +177,46 @@ def whisper_log_mel(audio: jax.Array) -> jax.Array:
     return log_spec.transpose(0, 2, 1)  # (B, 80, frames)
 
 
+# --------------------------------------------------------------------------- #
+# torchlibrosa-style log-mel (CLAP frontends: laion_clap 48k, msclap 44.1k)
+# --------------------------------------------------------------------------- #
+
+
+@lru_cache(maxsize=8)
+def _torchlibrosa_bases(n_fft: int, sr: int, n_mels: int, fmin: float, fmax: float):
+    window = periodic_hann(n_fft)
+    k = np.arange(n_fft // 2 + 1)
+    n = np.arange(n_fft)
+    phase = -2.0 * np.pi * np.outer(n, k) / n_fft
+    dft_re = (np.cos(phase) * window[:, None]).astype(np.float32)
+    dft_im = (np.sin(phase) * window[:, None]).astype(np.float32)
+    mel = mel_filterbank_slaney(n_mels, n_fft // 2 + 1, sr, fmin, fmax)
+    return dft_re, dft_im, mel.astype(np.float32)
+
+
+@partial(jax.jit, static_argnames=("sr", "n_fft", "hop", "n_mels", "fmin", "fmax"))
+def torchlibrosa_log_mel(
+    audio: jax.Array, *, sr: int, n_fft: int, hop: int, n_mels: int,
+    fmin: float, fmax: float,
+) -> jax.Array:
+    """(B, T) -> (B, n_frames, n_mels) log-mel, torchlibrosa semantics:
+    centered reflect-padded periodic-Hann STFT, power spectrum, slaney mel
+    (librosa default), power_to_db with ref=1/amin=1e-10/top_db=None, i.e.
+    10*log10(max(mel, 1e-10)). Used by both CLAP audio towers
+    (reference deps laion_clap / msclap)."""
+    dft_re, dft_im, mel = _torchlibrosa_bases(n_fft, sr, n_mels, float(fmin), float(fmax))
+    x = jnp.pad(audio.astype(jnp.float32), ((0, 0), (n_fft // 2, n_fft // 2)), mode="reflect")
+    patches = jax.lax.conv_general_dilated_patches(
+        x[..., None], filter_shape=(n_fft,), window_strides=(hop,),
+        padding="VALID", dimension_numbers=("NHC", "HIO", "NHC"),
+    )
+    re = patches @ jnp.asarray(dft_re)
+    im = patches @ jnp.asarray(dft_im)
+    power = re * re + im * im
+    mel_spec = power @ jnp.asarray(mel)
+    return 10.0 * jnp.log10(jnp.maximum(mel_spec, 1e-10))
+
+
 def vggish_num_examples(num_samples: int) -> int:
     if num_samples < _WINDOW:
         return 0

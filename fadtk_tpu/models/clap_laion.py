@@ -1,17 +1,114 @@
-"""LAION-CLAP (metadata stub; implementation in progress). Parity target: reference fadtk/model_loader.py:291-418."""
+"""LAION-CLAP embedding models (`clap-laion-audio`, `clap-laion-music`).
 
+Parity target: reference fadtk/model_loader.py:291-418 — 48 kHz; int16
+quantization round-trip (:392-393,413-418); overlapping 10 s chunks with a 1 s
+hop where *every* chunk start yields a chunk (tails zero-padded to 10 s, so a
+10 s clip produces 10 embedding frames, :395-404); per chunk: HTSAT audio tower
+(tiny for 'audio', base for 'music', :385) -> MLP projection -> L2 normalize
+(laion_clap get_audio_embedding semantics, == HF ClapModel.get_audio_features).
+
+Mel frontend: torchlibrosa log-mel (fft 1024, hop 480, 64 slaney mels,
+50-14000 Hz) computed on device as GEMMs; chunks batch into a single static
+(n_chunks, 480000) forward.
+
+Checkpoints: the reference auto-downloads 630k-audioset-best.pt /
+music_audioset_epoch_15_esc_90.14.pt (:300-310); `fadtk-convert` consumes those
+same files (or the HF laion/clap-htsat-unfused tree) offline.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import replace
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..dsp.mel import torchlibrosa_log_mel
+from ..utils import log
 from .base import EmbeddingModel
+from .htsat import (
+    HTSAT_BASE,
+    HTSAT_TINY,
+    HTSATConfig,
+    clap_audio_projection,
+    htsat_forward,
+    init_htsat_params,
+)
+
+_SR = 48000
+_CHUNK = 10 * _SR
+_HOP = _SR
+_MEL = dict(sr=_SR, n_fft=1024, hop=480, n_mels=64, fmin=50.0, fmax=14000.0)
+
+
+@lru_cache(maxsize=8)
+def _jitted(cfg: HTSATConfig):
+    def fn(params, chunks):  # (B, 480000) -> (B, proj_dim) normalized
+        mel = torchlibrosa_log_mel(chunks, **_MEL)  # (B, 1001, 64)
+        pooled = htsat_forward(cfg, params, mel[:, None, :, :])
+        proj = clap_audio_projection(params["audio_projection"], pooled)
+        return proj / jnp.linalg.norm(proj, axis=-1, keepdims=True)
+
+    return jax.jit(fn)
 
 
 class CLAPLaionModel(EmbeddingModel):
-    def __init__(self, type):
-        super().__init__(f'clap-laion-{type}', 512, 48000)
+    def __init__(self, type: str):
+        assert type in ("audio", "music")
+        super().__init__(f"clap-laion-{type}", 512, _SR)
         self.type = type
+        self.cfg = HTSAT_TINY if type == "audio" else HTSAT_BASE
+        self.params = None
 
-    def load_model(self):
-        raise NotImplementedError(
-            "CLAPLaionModel compute path is not implemented yet in fadtk-tpu"
+    def weights_name(self) -> str:
+        return f"clap_laion_{self.type}"
+
+    def load_model(self) -> None:
+        from ..weights.store import (
+            MissingWeightsError,
+            load_params,
+            params_path,
+            random_weights_enabled,
         )
 
-    def _embed(self, audio):
-        raise NotImplementedError
+        path = params_path(self.weights_name())
+        if path.exists():
+            stored = load_params(path)
+            meta = stored.pop("__config__", None)
+            if meta is not None:
+                self.cfg = replace(self.cfg, **json.loads(bytes(np.asarray(meta)).decode()))
+            self.params = stored
+        elif random_weights_enabled():
+            log.warning(f"{self.name}: using RANDOM weights (FADTK_TPU_RANDOM_WEIGHTS=1)")
+            self.params = init_htsat_params(self.cfg, jax.random.PRNGKey(0), projection_dim=512)
+        else:
+            ckpt = (
+                "630k-audioset-best.pt"
+                if self.type == "audio"
+                else "music_audioset_epoch_15_esc_90.14.pt"
+            )
+            raise MissingWeightsError(self.weights_name(), f"laion_clap checkpoint {ckpt}")
+        self.loaded = True
+
+    @staticmethod
+    def _quantize_roundtrip(x: np.ndarray) -> np.ndarray:
+        """int16 round-trip (parity: fadtk/model_loader.py:392-393,413-418)."""
+        q = (np.clip(x, -1.0, 1.0) * 32767.0).astype(np.int16)
+        return (q / 32767.0).astype(np.float32)
+
+    def _embed(self, audio: np.ndarray) -> np.ndarray:
+        audio = np.asarray(audio, dtype=np.float64).reshape(1, -1)
+        audio = self._quantize_roundtrip(audio)[0]
+
+        length = audio.shape[0]
+        starts = list(range(0, length, _HOP))  # every hop start, incl. tails
+        chunks = np.zeros((len(starts), _CHUNK), np.float32)
+        for i, s in enumerate(starts):
+            seg = audio[s : s + _CHUNK]
+            chunks[i, : seg.shape[0]] = seg
+
+        out = _jitted(self.cfg)(self.params, jnp.asarray(chunks))
+        return np.asarray(out)

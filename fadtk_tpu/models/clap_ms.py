@@ -1,17 +1,131 @@
-"""Microsoft CLAP 2023 (metadata stub; implementation in progress). Parity target: reference fadtk/model_loader.py:463-522."""
+"""Microsoft CLAP 2023 embedding model (`clap-2023`).
 
+Parity target: reference fadtk/model_loader.py:463-522 — 44.1 kHz; 7 s chunks
+with a 1 s hop, every chunk start kept and zero-padded to 7 s (:493-508; the
+int16 round-trip is commented out upstream, :491, and the stray
+default_collate call has no effect, :502); per chunk the msclap audio encoder:
+HTSAT tower -> msclap Projection head -> 1024-d embedding (no L2
+normalization; `model.clap.audio_encoder(chunk)[0]`, :510).
+
+msclap's Projection differs from LAION's: with p1 = linear1(x),
+out = layer_norm(p1 + dropout(linear2(gelu(p1)))).
+
+Mel frontend (msclap HTSAT config_2023): fft 1024, hop 320, 64 slaney mels.
+The fmin/fmax defaults below (50/14000) follow the msclap 2023 config; they are
+recorded as conversion metadata so real checkpoints are self-describing.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import replace
+from functools import lru_cache
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..dsp.mel import torchlibrosa_log_mel
+from ..utils import log
 from .base import EmbeddingModel
+from .htsat import HTSATConfig, htsat_forward, init_htsat_params
+
+_SR = 44100
+_CHUNK = 7 * _SR
+_HOP = _SR
+
+
+class _MelParams(NamedTuple):
+    n_fft: int = 1024
+    hop: int = 320
+    n_mels: int = 64
+    fmin: float = 50.0
+    fmax: float = 14000.0
+
+
+def msclap_projection(p, x: jax.Array) -> jax.Array:
+    """msclap Projection: layer_norm(linear1(x) + linear2(gelu(linear1(x))))."""
+    p1 = x @ p["linear1"]["kernel"] + p["linear1"]["bias"]
+    p2 = jax.nn.gelu(p1, approximate=False) @ p["linear2"]["kernel"] + p["linear2"]["bias"]
+    y = p1 + p2
+    mu = jnp.mean(y, axis=-1, keepdims=True)
+    var = jnp.var(y, axis=-1, keepdims=True)
+    return (y - mu) * jax.lax.rsqrt(var + 1e-5) * p["layer_norm"]["scale"] + p["layer_norm"]["bias"]
+
+
+@lru_cache(maxsize=4)
+def _jitted(cfg: HTSATConfig, mel: _MelParams):
+    def fn(params, chunks):  # (B, 308700) -> (B, 1024)
+        m = torchlibrosa_log_mel(
+            chunks, sr=_SR, n_fft=mel.n_fft, hop=mel.hop, n_mels=mel.n_mels,
+            fmin=mel.fmin, fmax=mel.fmax,
+        )
+        pooled = htsat_forward(cfg, params, m[:, None, :, :])
+        return msclap_projection(params["projection"], pooled)
+
+    return jax.jit(fn)
 
 
 class MSCLAPModel(EmbeddingModel):
-    def __init__(self, type='2023'):
-        super().__init__(f'clap-{type}', 1024, 44100)
+    def __init__(self, type: str = "2023"):
+        assert type == "2023", "the reference registers only clap-2023"
+        super().__init__(f"clap-{type}", 1024, _SR)
         self.type = type
+        self.cfg = HTSATConfig(embed_dim=96)  # out_emb 768 == tiny geometry
+        self.mel = _MelParams()
+        self.params = None
 
-    def load_model(self):
-        raise NotImplementedError(
-            "MSCLAPModel compute path is not implemented yet in fadtk-tpu"
+    def weights_name(self) -> str:
+        return "msclap_2023"
+
+    def load_model(self) -> None:
+        from ..weights.store import (
+            MissingWeightsError,
+            load_params,
+            params_path,
+            random_weights_enabled,
         )
 
-    def _embed(self, audio):
-        raise NotImplementedError
+        path = params_path(self.weights_name())
+        if path.exists():
+            stored = load_params(path)
+            meta = stored.pop("__config__", None)
+            if meta is not None:
+                fields = json.loads(bytes(np.asarray(meta)).decode())
+                mel_fields = {k: v for k, v in fields.items() if k in _MelParams._fields}
+                cfg_fields = {k: v for k, v in fields.items() if k not in _MelParams._fields}
+                self.mel = self.mel._replace(**mel_fields)
+                self.cfg = replace(self.cfg, **cfg_fields)
+            self.params = stored
+        elif random_weights_enabled():
+            log.warning(f"{self.name}: using RANDOM weights (FADTK_TPU_RANDOM_WEIGHTS=1)")
+            params = init_htsat_params(self.cfg, jax.random.PRNGKey(0), projection_dim=None)
+            key = jax.random.PRNGKey(1)
+            k1, k2 = jax.random.split(key)
+            d = self.cfg.num_features
+            params["projection"] = {
+                "linear1": {
+                    "kernel": jax.random.normal(k1, (d, 1024)) * 0.02,
+                    "bias": jnp.zeros((1024,)),
+                },
+                "linear2": {
+                    "kernel": jax.random.normal(k2, (1024, 1024)) * 0.02,
+                    "bias": jnp.zeros((1024,)),
+                },
+                "layer_norm": {"scale": jnp.ones((1024,)), "bias": jnp.zeros((1024,))},
+            }
+            self.params = params
+        else:
+            raise MissingWeightsError(self.weights_name(), "msclap CLAP_weights_2023.pth")
+        self.loaded = True
+
+    def _embed(self, audio: np.ndarray) -> np.ndarray:
+        audio = np.asarray(audio, dtype=np.float32).reshape(-1)
+        starts = list(range(0, audio.shape[0], _HOP))
+        chunks = np.zeros((len(starts), _CHUNK), np.float32)
+        for i, s in enumerate(starts):
+            seg = audio[s : s + _CHUNK]
+            chunks[i, : seg.shape[0]] = seg
+        out = _jitted(self.cfg, self.mel)(self.params, jnp.asarray(chunks))
+        return np.asarray(out)

@@ -140,3 +140,25 @@ def convert_clap_audio(state_dict, cfg: HTSATConfig) -> dict:
             "linear2": _dense(state_dict, "audio_projection.linear2"),
         }
     return params
+
+
+def convert_msclap_audio(state_dict, cfg: HTSATConfig) -> dict:
+    """msclap CLAP checkpoint (CLAP_weights_2023.pth; reference
+    fadtk/model_loader.py:471-484) -> HTSAT params + msclap projection head.
+
+    msclap tree: audio_encoder.base.htsat.<original HTSAT naming> and
+    audio_encoder.projection.{linear1,linear2,layer_norm}.
+    """
+    sd = {k.removeprefix("module."): v for k, v in state_dict.items()}
+    htsat_sd = {
+        "audio_branch." + k.removeprefix("audio_encoder.base.htsat."): v
+        for k, v in sd.items()
+        if k.startswith("audio_encoder.base.htsat.")
+    }
+    params = convert_clap_audio(htsat_sd, cfg)
+    params["projection"] = {
+        "linear1": _dense(sd, "audio_encoder.projection.linear1"),
+        "linear2": _dense(sd, "audio_encoder.projection.linear2"),
+        "layer_norm": _norm(sd, "audio_encoder.projection.layer_norm"),
+    }
+    return params

@@ -162,7 +162,49 @@ def convert_encodec_model(model) -> None:
     log.info(f"Saved {out}")
 
 
-def convert_model(name: str) -> None:
+def convert_clap_laion_model(model, checkpoint: str | None = None) -> None:
+    """Convert a laion_clap .pt checkpoint (the files the reference
+    auto-downloads, fadtk/model_loader.py:300-310) or the HF ClapModel tree."""
+    import torch
+
+    from .clap import convert_clap_audio
+
+    if checkpoint:
+        ck = torch.load(checkpoint, map_location="cpu", weights_only=False)
+        sd = ck.get("state_dict", ck) if isinstance(ck, dict) else ck
+    else:
+        from transformers import ClapModel
+
+        hf_id = (
+            "laion/clap-htsat-unfused" if model.type == "audio" else "laion/larger_clap_music"
+        )
+        sd = ClapModel.from_pretrained(hf_id).state_dict()
+
+    params = convert_clap_audio(sd, model.cfg)
+    if "audio_projection" not in params:
+        raise ValueError("checkpoint is missing the audio projection head")
+    out = params_path(model.weights_name())
+    save_params(params, out)
+    log.info(f"Saved {out}")
+
+
+def convert_msclap_model(model, checkpoint: str) -> None:
+    """Convert msclap CLAP_weights_2023.pth (reference fadtk/model_loader.py:472)."""
+    import torch
+
+    from .clap import convert_msclap_audio
+
+    ck = torch.load(checkpoint, map_location="cpu", weights_only=False)
+    sd = ck.get("model", ck.get("state_dict", ck)) if isinstance(ck, dict) else ck
+    params = convert_msclap_audio(sd, model.cfg)
+    out = params_path(model.weights_name())
+    save_params(params, out)
+    log.info(f"Saved {out}")
+
+
+def convert_model(name: str, checkpoint: str | None = None) -> None:
+    from ..models.clap_laion import CLAPLaionModel
+    from ..models.clap_ms import MSCLAPModel
     from ..models.encodec import EncodecEmbModel
     from ..models.whisper import WhisperModel as TpuWhisper
 
@@ -175,6 +217,14 @@ def convert_model(name: str) -> None:
         convert_whisper_model(model)
     elif isinstance(model, EncodecEmbModel):
         convert_encodec_model(model)
+    elif isinstance(model, CLAPLaionModel):
+        convert_clap_laion_model(model, checkpoint)
+    elif isinstance(model, MSCLAPModel):
+        if not checkpoint:
+            raise SystemExit(
+                "clap-2023 conversion needs --checkpoint CLAP_weights_2023.pth"
+            )
+        convert_msclap_model(model, checkpoint)
     else:
         raise NotImplementedError(
             f"No converter wired for {type(model).__name__} yet"
@@ -189,6 +239,12 @@ def main() -> None:
         action="store_true",
         help="convert every speech-family backbone (w2v2/hubert/wavlm/mert)",
     )
+    ap.add_argument(
+        "--checkpoint",
+        type=str,
+        default=None,
+        help="local torch checkpoint path (laion_clap .pt / msclap .pth)",
+    )
     args = ap.parse_args()
 
     names = list(args.models)
@@ -200,7 +256,7 @@ def main() -> None:
             "MERT-v1-95M",
         ]
     for name in names:
-        convert_model(name)
+        convert_model(name, checkpoint=args.checkpoint)
 
 
 if __name__ == "__main__":
