@@ -25,12 +25,22 @@ BATCH = 16
 CACHE = Path(__file__).parent / ".bench_cache" / "cpu_w2v2_base.json"
 
 
-def bench_tpu() -> float:
+def bench_tpu(dtype_name: str = "float32", batch: int = 32) -> float:
+    """Throughput of the end-to-end scoring pipeline on device: batched
+    wav2vec2-base embedding -> float16 storage round-trip -> streaming Welford
+    covariance accumulation. Only the (D,) + (D, D) statistics leave the chip —
+    the TPU-native dataset-scoring dataflow (embeddings never bounce through
+    the host, unlike the reference's per-file .npy round-trip).
+
+    float32 is reference-parity numerics; bf16 is the fast mode (norm stats,
+    attention softmax and MXU accumulation stay f32 either way).
+    """
     from functools import partial
 
     import jax
     import jax.numpy as jnp
 
+    from fadtk_tpu.metric.stats import welford_finalize, welford_init, welford_update
     from fadtk_tpu.models.speech.config import SpeechEncoderConfig
     from fadtk_tpu.models.speech.encoder import (
         init_speech_encoder_params,
@@ -38,28 +48,38 @@ def bench_tpu() -> float:
     )
 
     cfg = SpeechEncoderConfig(do_normalize=False)
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
     params = init_speech_encoder_params(cfg, jax.random.PRNGKey(0))
-    fwd = jax.jit(partial(speech_encoder_forward, cfg))
+    params = jax.tree.map(lambda x: x.astype(dtype), params)
+
+    @jax.jit
+    def step(p, audio, num_valid, state):
+        states, mask = speech_encoder_forward(
+            cfg, p, audio, num_valid, taps=(cfg.num_layers,)
+        )
+        frames = states[0].reshape(-1, cfg.hidden_size)
+        frames = frames.astype(jnp.float16).astype(jnp.float32)  # cache parity
+        return welford_update(state, frames, mask.reshape(-1).astype(jnp.float32))
 
     rng = np.random.default_rng(0)
     audio = jnp.asarray(
-        rng.standard_normal((BATCH, CLIP_SECONDS * SR)), jnp.float32
+        rng.standard_normal((batch, CLIP_SECONDS * SR)), jnp.float32
     ) * 0.1
-    num_valid = jnp.full((BATCH,), CLIP_SECONDS * SR, jnp.int32)
+    num_valid = jnp.full((batch,), CLIP_SECONDS * SR, jnp.int32)
 
     # Warmup/compile.
-    states, mask = fwd(params, audio, num_valid)
-    jax.block_until_ready(states)
+    state = welford_init(cfg.hidden_size)
+    state = jax.block_until_ready(step(params, audio, num_valid, state))
 
     iters = 10
     start = time.perf_counter()
     for _ in range(iters):
-        states, mask = fwd(params, audio, num_valid)
-        # Fetch the layer tap like the embed path does (device->host included).
-        np.asarray(states[cfg.num_layers])
+        state = step(params, audio, num_valid, state)
+    mu, cov = jax.block_until_ready(welford_finalize(state))
     elapsed = time.perf_counter() - start
+    assert np.isfinite(np.asarray(mu)).all()
 
-    audio_sec = BATCH * CLIP_SECONDS * iters
+    audio_sec = batch * CLIP_SECONDS * iters
     return audio_sec / elapsed
 
 

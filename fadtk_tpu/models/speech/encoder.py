@@ -38,9 +38,12 @@ def _gelu(x):
 
 
 def _layer_norm(x, p, eps):
-    mu = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+    # Statistics in float32 regardless of compute dtype (bf16 fast mode).
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mu) * jax.lax.rsqrt(var + eps)
+    return (y * p["scale"] + p["bias"]).astype(x.dtype)
 
 
 # --------------------------------------------------------------------------- #
@@ -133,14 +136,20 @@ def _split_heads(x, num_heads):
 
 
 def _attention_core(q, k, v, bias):
-    """q,k,v: (B, H, T, D); bias: additive (B, H, T, T) or broadcastable."""
+    """q,k,v: (B, H, T, D); bias: additive (B, H, T, T) or broadcastable.
+
+    Logits/softmax stay in float32 (f32 MXU accumulation) so the bf16 fast
+    mode keeps a stable attention distribution.
+    """
     scale = q.shape[-1] ** -0.5
-    logits = jnp.einsum("bhtd,bhsd->bhts", q * scale, k, preferred_element_type=q.dtype)
-    logits = logits + bias
-    w = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bhts,bhsd->bhtd", w, v, preferred_element_type=q.dtype)
+    logits = jnp.einsum(
+        "bhtd,bhsd->bhts", q * scale, k, preferred_element_type=jnp.float32
+    )
+    logits = logits + bias.astype(jnp.float32)
+    w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhts,bhsd->bhtd", w, v, preferred_element_type=jnp.float32)
     b, h, t, d = out.shape
-    return out.transpose(0, 2, 1, 3).reshape(b, t, h * d)
+    return out.astype(v.dtype).transpose(0, 2, 1, 3).reshape(b, t, h * d)
 
 
 def standard_attention(cfg: SpeechEncoderConfig, p, x, key_bias):
@@ -251,15 +260,23 @@ def speech_encoder_forward(
     params,
     audio: jax.Array,
     num_valid: jax.Array | None = None,
+    taps: tuple[int, ...] | None = None,
 ):
     """Full forward pass.
 
     Args:
         audio: (B, T_samples) float32, zero-padded to a bucket length.
         num_valid: (B,) int32 true sample counts (defaults to full length).
+        taps: hidden-state indices to return (None = all num_layers + 1).
+            Passing a single tap avoids materializing the full stacked states
+            (13x activation HBM traffic) on the throughput path.
+
+    Compute dtype follows the parameter dtype: cast params to bfloat16 for the
+    fast mode (norm statistics, attention logits and MXU accumulation stay
+    float32). Float32 params give reference-parity numerics.
 
     Returns:
-        hidden_states: (num_layers + 1, B, T_frames, H) — HF's
+        hidden_states: (len(taps) or num_layers + 1, B, T_frames, H) — HF's
             output_hidden_states tuple, stacked (reference selects one layer,
             fadtk/model_loader.py:556-557).
         frame_mask: (B, T_frames) validity mask.
@@ -268,14 +285,18 @@ def speech_encoder_forward(
     if num_valid is None:
         num_valid = jnp.full((b,), t_samples, jnp.int32)
 
+    compute_dtype = params["feature_projection"]["projection"]["kernel"].dtype
+
     if cfg.do_normalize:
         # HF Wav2Vec2FeatureExtractor zero-mean/unit-var per utterance over
-        # *valid* samples (padding excluded), eps 1e-7.
+        # *valid* samples (padding excluded), eps 1e-7. Float32 statistics.
+        audio = audio.astype(jnp.float32)
         smask = (jnp.arange(t_samples)[None, :] < num_valid[:, None]).astype(audio.dtype)
         n = jnp.maximum(num_valid.astype(audio.dtype), 1.0)[:, None]
         mean = jnp.sum(audio * smask, axis=1, keepdims=True) / n
         var = jnp.sum(jnp.square(audio - mean) * smask, axis=1, keepdims=True) / n
         audio = (audio - mean) / jnp.sqrt(var + 1e-7) * smask
+    audio = audio.astype(compute_dtype)
 
     feats, frame_mask, _ = jax.vmap(
         lambda a, nv: _feature_extractor_single(cfg, params["feature_extractor"], a, nv)
@@ -309,15 +330,23 @@ def speech_encoder_forward(
     else:
         position_bias = None
 
-    states = [x]
-    for p in enc["layers"]:
+    wanted = set(range(cfg.num_layers + 1)) if taps is None else set(taps)
+    collected: dict[int, jax.Array] = {}
+    if 0 in wanted:
+        collected[0] = x
+    last_idx = cfg.num_layers
+    for i, p in enumerate(enc["layers"][: max(wanted)], start=1):
         x = encoder_layer(cfg, p, x, key_bias, position_bias)
-        states.append(x)
+        if i in wanted:
+            collected[i] = x
 
-    if cfg.do_stable_layer_norm:
-        states[-1] = _layer_norm(states[-1], enc["layer_norm"], cfg.layer_norm_eps)
+    if cfg.do_stable_layer_norm and last_idx in collected:
+        collected[last_idx] = _layer_norm(
+            collected[last_idx], enc["layer_norm"], cfg.layer_norm_eps
+        )
 
-    return jnp.stack(states, axis=0), frame_mask
+    order = sorted(collected) if taps is None else list(taps)
+    return jnp.stack([collected[i] for i in order], axis=0), frame_mask
 
 
 # --------------------------------------------------------------------------- #

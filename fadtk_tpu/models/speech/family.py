@@ -33,9 +33,9 @@ from .encoder import init_speech_encoder_params, speech_encoder_forward
 BUCKET_SECONDS = 10
 
 
-@lru_cache(maxsize=32)
-def _jitted_forward(cfg: SpeechEncoderConfig):
-    return jax.jit(partial(speech_encoder_forward, cfg))
+@lru_cache(maxsize=64)
+def _jitted_forward(cfg: SpeechEncoderConfig, taps: tuple | None = None):
+    return jax.jit(partial(speech_encoder_forward, cfg, taps=taps))
 
 
 class SpeechEmbeddingModel(EmbeddingModel):
@@ -104,11 +104,11 @@ class SpeechEmbeddingModel(EmbeddingModel):
         padded = np.zeros(bucket, np.float32)
         padded[:n] = audio.astype(np.float32)
 
-        states, mask = _jitted_forward(self.cfg)(
+        states, mask = _jitted_forward(self.cfg, (self.layer,))(
             self.params, padded[None], np.asarray([n], np.int32)
         )
         n_frames = int(np.asarray(mask[0]).sum())
-        return np.asarray(states[self.layer, 0, :n_frames])
+        return np.asarray(states[0, 0, :n_frames])
 
     def embed_all_layers(self, audio: np.ndarray) -> np.ndarray:
         """(num_layers + 1, n_frames, H) — one forward, every layer tap; used by
