@@ -1,16 +1,90 @@
-"""Descript Audio Codec encoder (metadata stub; implementation in progress). Parity target: reference fadtk/model_loader.py:189-251."""
+"""DAC embedding model (`dac-44kHz`).
 
+Parity target: reference fadtk/model_loader.py:189-251 —
+
+- audiotools preprocessing: loudness-normalize to -16 dB LUFS (:222),
+  peak-limit to |x| <= 1 (:223), zero-pad to a multiple of the 5 s window
+  (:228-229), collect 5 s windows with 50% overlap (:230);
+- per window: DAC 44 kHz encoder -> (430, 1024) latents, concatenated (:236-244).
+
+The reference gates this model on the `dac` pip package
+(fadtk/model_loader.py:696-697); here it is always available.
+
+TPU notes: all windows share one static (n_windows, 1, 220500) shape — a single
+batched forward; the loudness meter runs on host (dsp/loudness.py).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache, partial
+
+import jax
+import numpy as np
+
+from ..dsp.loudness import normalize_loudness
+from ..utils import log
 from .base import EmbeddingModel
+from .dac_impl import DAC_44K, DACEncoderConfig, dac_encode, init_dac_params
+
+_SR = 44100
+_WIN = int((5.0 * _SR) // 4 * 4)  # 220500; reference :214-216
+_HOP = _WIN // 2
+
+
+@lru_cache(maxsize=4)
+def _jitted(cfg: DACEncoderConfig):
+    return jax.jit(partial(dac_encode, cfg))
 
 
 class DACModel(EmbeddingModel):
     def __init__(self):
-        super().__init__('dac-44kHz', 1024, 44100)
+        super().__init__("dac-44kHz", 1024, _SR)
+        self.cfg = DAC_44K
+        self.params = None
 
-    def load_model(self):
-        raise NotImplementedError(
-            "DACModel compute path is not implemented yet in fadtk-tpu"
+    def weights_name(self) -> str:
+        return "dac_44khz"
+
+    def load_model(self) -> None:
+        from ..weights.store import (
+            MissingWeightsError,
+            load_params,
+            params_path,
+            random_weights_enabled,
         )
 
-    def _embed(self, audio):
-        raise NotImplementedError
+        path = params_path(self.weights_name())
+        if path.exists():
+            stored = load_params(path)
+            stored.pop("__config__", None)
+            self.params = stored
+        elif random_weights_enabled():
+            log.warning(f"{self.name}: using RANDOM weights (FADTK_TPU_RANDOM_WEIGHTS=1)")
+            self.params = init_dac_params(self.cfg, jax.random.PRNGKey(0))
+        else:
+            raise MissingWeightsError(
+                self.weights_name(), "descript-audio-codec weights_44khz.pth"
+            )
+        self.loaded = True
+
+    def _embed(self, audio: np.ndarray) -> np.ndarray:
+        x = np.asarray(audio, np.float64).reshape(-1)
+
+        # audiotools sanitization (reference :222-223).
+        x = normalize_loudness(x, self.sr, -16.0).astype(np.float64)
+        peak = np.abs(x).max()
+        if peak > 1.0:
+            x = x / peak
+
+        # Zero-pad to a whole number of windows, then 50%-overlap windows.
+        n_win_units = max(1, math.ceil(x.shape[0] / _WIN))
+        padded = np.zeros(n_win_units * _WIN, np.float32)
+        padded[: x.shape[0]] = x
+        num_windows = (padded.shape[0] - _WIN) // _HOP + 1
+        windows = np.stack(
+            [padded[i * _HOP : i * _HOP + _WIN] for i in range(num_windows)]
+        )
+
+        out = _jitted(self.cfg)(self.params, windows[:, None, :])  # (n, 430, 1024)
+        return np.asarray(out).reshape(-1, self.num_features)

@@ -202,9 +202,25 @@ def convert_msclap_model(model, checkpoint: str) -> None:
     log.info(f"Saved {out}")
 
 
+def convert_dac_model(model, checkpoint: str) -> None:
+    """Convert descript-audio-codec weights_44khz.pth (the file `dac download`
+    fetches; reference fadtk/model_loader.py:199-200 loads tag 'latest')."""
+    import torch
+
+    from .dac import convert_dac_encoder
+
+    ck = torch.load(checkpoint, map_location="cpu", weights_only=False)
+    sd = ck.get("state_dict", ck) if isinstance(ck, dict) else ck
+    params = convert_dac_encoder(sd, model.cfg)
+    out = params_path(model.weights_name())
+    save_params(params, out)
+    log.info(f"Saved {out}")
+
+
 def convert_model(name: str, checkpoint: str | None = None) -> None:
     from ..models.clap_laion import CLAPLaionModel
     from ..models.clap_ms import MSCLAPModel
+    from ..models.dac import DACModel
     from ..models.encodec import EncodecEmbModel
     from ..models.whisper import WhisperModel as TpuWhisper
 
@@ -225,6 +241,12 @@ def convert_model(name: str, checkpoint: str | None = None) -> None:
                 "clap-2023 conversion needs --checkpoint CLAP_weights_2023.pth"
             )
         convert_msclap_model(model, checkpoint)
+    elif isinstance(model, DACModel):
+        if not checkpoint:
+            raise SystemExit(
+                "dac-44kHz conversion needs --checkpoint weights_44khz.pth"
+            )
+        convert_dac_model(model, checkpoint)
     else:
         raise NotImplementedError(
             f"No converter wired for {type(model).__name__} yet"
