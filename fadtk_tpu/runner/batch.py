@@ -56,13 +56,22 @@ def cache_embedding_files(
             log.error(f"Failed to load {f}: {e}")
             raise
 
-    window = max(1, workers) * 2  # bound decoded-audio RAM while overlapping IO
+    window = max(1, workers) * 4  # bound decoded-audio RAM while overlapping IO
     with ThreadPoolExecutor(max_workers=max(1, workers)) as ex:
         for i in range(0, len(files), window):
-            for f, wav in ex.map(prepare, files[i : i + window]):
+            group = list(ex.map(prepare, files[i : i + window]))
+            todo = [
+                (f, wav) for f, wav in group
+                if not get_cache_embedding_path(ml.name, f).exists()
+            ]
+            if not todo:
+                continue
+            # Batched device inference across files (models without a real
+            # batched path fall back to a per-clip loop in the base class).
+            embeds = ml.embed_batch([np.asarray(w) for _, w in todo])
+            for (f, _), embd in zip(todo, embeds):
+                if embd.dtype == np.float32:
+                    embd = embd.astype(np.float16)
                 cache = get_cache_embedding_path(ml.name, f)
-                if cache.exists():
-                    continue
-                embd = ml.get_embedding(wav)
                 cache.parent.mkdir(parents=True, exist_ok=True)
                 np.save(cache, embd)

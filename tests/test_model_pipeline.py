@@ -124,3 +124,17 @@ def test_weight_store_roundtrip(tmp_path):
     assert len(flat_a) == len(flat_b)
     for a, b in zip(flat_a, flat_b):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_embed_batch_matches_individual(w2v2):
+    """Cross-file batched inference must equal per-clip embeddings exactly."""
+    rng = np.random.default_rng(11)
+    clips = [
+        (rng.standard_normal(n) * 0.1).astype(np.float64)
+        for n in (16000, 24000, 31999, 16000, 8000)
+    ]
+    batched = w2v2.embed_batch(list(clips))
+    for clip, got in zip(clips, batched):
+        want = w2v2.get_embedding(clip)
+        assert got.dtype == np.float16
+        np.testing.assert_array_equal(got, want)
