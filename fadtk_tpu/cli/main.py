@@ -43,6 +43,9 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=0,
                     help="PRNG seed for --inf subsampling (the reference is "
                          "unseeded; we default to 0 for reproducibility)")
+    ap.add_argument("--device-scoring", action="store_true",
+                    help="run the FAD-inf sweep / per-song scoring on the "
+                         "accelerator (float32 Newton-Schulz fast mode)")
     args = ap.parse_args()
 
     model = models[args.model]
@@ -54,7 +57,12 @@ def main() -> None:
             cache_embedding_files(d, model, workers=args.workers)
 
     # 2. Score.
-    fad = FrechetAudioDistance(model, audio_load_worker=args.workers, load_model=False)
+    fad = FrechetAudioDistance(
+        model,
+        audio_load_worker=args.workers,
+        load_model=False,
+        device_scoring=args.device_scoring,
+    )
     inf_r2 = None
     if args.inf:
         assert Path(eval_).is_dir(), "FAD-inf requires a directory as the evaluation dataset"

@@ -58,10 +58,15 @@ class FrechetAudioDistance:
         audio_load_worker: int = 8,
         load_model: bool = True,
         frechet_method: str = "eigh",
+        device_scoring: bool = False,
     ):
+        """``device_scoring=True`` runs the FAD-inf sweep and per-song scoring
+        on the accelerator (float32 Newton-Schulz; ~1e-3 relative vs the host
+        float64 parity path — see metric/device_scoring.py)."""
         self.ml = ml
         self.audio_load_worker = audio_load_worker
         self.frechet_method = frechet_method
+        self.device_scoring = device_scoring
         if load_model:
             self.ml.ensure_loaded()
 
@@ -226,6 +231,14 @@ class FrechetAudioDistance:
         else:
             embeds = self._load_embeddings(list(eval_files), concat=True)
 
+        if self.device_scoring:
+            from ..metric.device_scoring import fad_inf_device
+
+            score, slope, r2, points = fad_inf_device(
+                mu_base, cov_base, embeds, steps=steps, min_n=min_n, seed=seed
+            )
+            return FADInfResults(score=score, slope=slope, r2=r2, points=points)
+
         max_n = len(embeds)
         ns = [int(n) for n in np.linspace(min_n, max_n, steps)]
         rng = np.random.RandomState(seed)
@@ -267,6 +280,29 @@ class FrechetAudioDistance:
 
         mu, cov = self.load_stats(baseline)
 
+        files = dataset_files(eval_dir)
+        if self.device_scoring:
+            from ..metric.device_scoring import per_song_fad_device
+
+            embeds, kept = [], []
+            for f in files:
+                try:
+                    e = self.read_embedding_file(f)
+                    assert e.shape[0] >= 2
+                    embeds.append(e)
+                    kept.append(f)
+                except Exception as e:
+                    log.error(f"per-song FAD failed for {f}: {e}")
+            scores = per_song_fad_device(mu, cov, embeds)
+            pairs = sorted(zip(kept, scores), key=lambda x: abs(x[1]))
+            csv.parent.mkdir(parents=True, exist_ok=True)
+            csv.write_text(
+                "\n".join(
+                    ",".join(str(x).replace(",", "_") for x in row) for row in pairs
+                )
+            )
+            return csv
+
         def _find_z_helper(f: Path):
             try:
                 embd = self.read_embedding_file(f)
@@ -284,7 +320,6 @@ class FrechetAudioDistance:
                 )
                 return None
 
-        files = dataset_files(eval_dir)
         with ThreadPoolExecutor(max_workers=self.audio_load_worker) as ex:
             scores = list(ex.map(_find_z_helper, files))
 
