@@ -21,7 +21,8 @@ import numpy as np
 
 from ..models.base import EmbeddingModel
 from ..utils import PathLike, dataset_files, get_cache_embedding_path, log
-from .fad import FrechetAudioDistance
+from . import profiling
+from .fad import FrechetAudioDistance, atomic_save_npy
 
 
 def cache_embedding_files(
@@ -51,7 +52,8 @@ def cache_embedding_files(
     # with device compute is where the wall-clock win is.
     def prepare(f: Path):
         try:
-            return f, fad.load_audio(f)
+            with profiling.stage("load_audio"):
+                return f, fad.load_audio(f)
         except Exception as e:
             log.error(f"Failed to load {f}: {e}")
             raise
@@ -68,10 +70,10 @@ def cache_embedding_files(
                 continue
             # Batched device inference across files (models without a real
             # batched path fall back to a per-clip loop in the base class).
-            embeds = ml.embed_batch([np.asarray(w) for _, w in todo])
+            with profiling.stage("embed"):
+                embeds = ml.embed_batch([np.asarray(w) for _, w in todo])
             for (f, _), embd in zip(todo, embeds):
                 if embd.dtype == np.float32:
                     embd = embd.astype(np.float16)
-                cache = get_cache_embedding_path(ml.name, f)
-                cache.parent.mkdir(parents=True, exist_ok=True)
-                np.save(cache, embd)
+                atomic_save_npy(get_cache_embedding_path(ml.name, f), embd)
+    profiling.report()

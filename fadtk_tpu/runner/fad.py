@@ -36,6 +36,16 @@ from ..utils import (
 )
 
 
+def atomic_save_npy(path: Path, array: np.ndarray) -> None:
+    """np.save via temp-file + rename: concurrent cache writers can only race
+    to an identical, complete file (the reference's check/write is non-atomic —
+    SURVEY.md §5 'race detection')."""
+    path.parent.mkdir(parents=True, exist_ok=True)
+    tmp = path.with_suffix(f".{os.getpid()}.tmp.npy")
+    np.save(tmp, array)
+    os.replace(tmp, path)
+
+
 class FADInfResults(NamedTuple):
     """Parity: reference fadtk/fad.py:35-39."""
 
@@ -106,13 +116,16 @@ class FrechetAudioDistance:
 
         Parity: reference fadtk/fad.py:188-201.
         """
+        from . import profiling
+
         cache = get_cache_embedding_path(self.ml.name, audio_path)
         if cache.exists():
             return
-        wav_data = self.load_audio(audio_path)
-        embd = self.ml.get_embedding(wav_data)
-        cache.parent.mkdir(parents=True, exist_ok=True)
-        np.save(cache, embd)
+        with profiling.stage("load_audio"):
+            wav_data = self.load_audio(audio_path)
+        with profiling.stage("embed"):
+            embd = self.ml.get_embedding(wav_data)
+        atomic_save_npy(cache, embd)
 
     def read_embedding_file(self, audio_path: PathLike) -> np.ndarray:
         """Parity: reference fadtk/fad.py:203-209."""
