@@ -84,7 +84,11 @@ def _vggish_bases() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 @partial(jax.jit, static_argnames=())
 def _log_mel_device(frames: jax.Array) -> jax.Array:
-    """(N, 400) windowed frames -> (N, 64) log-mel, all GEMMs."""
+    """(N, 400) windowed frames -> (N, 64) log-mel, all GEMMs.
+
+    NOTE: VGGish projects the *magnitude* spectrum (|rfft|), not the power
+    spectrum, so the fused power-spectrum Pallas kernel does not apply here.
+    """
     dft_re, dft_im, mel = _vggish_bases()
     re = frames @ jnp.asarray(dft_re)
     im = frames @ jnp.asarray(dft_im)
@@ -166,11 +170,20 @@ def whisper_log_mel(audio: jax.Array) -> jax.Array:
         padding="VALID", dimension_numbers=("NHC", "HIO", "NHC"),
     )  # (B, n_frames, 400)
     patches = patches[:, :-1]  # HF drops the last frame
-    re = patches @ jnp.asarray(dft_re)
-    im = patches @ jnp.asarray(dft_im)
-    power = re * re + im * im
-    mel_spec = power @ jnp.asarray(mel)  # (B, frames, 80)
-    log_spec = jnp.log10(jnp.maximum(mel_spec, 1e-10))
+    from .pallas_mel import fused_log_mel, pallas_available
+
+    if pallas_available():
+        b, t, w = patches.shape
+        log_spec = fused_log_mel(
+            patches.reshape(b * t, w), jnp.asarray(dft_re), jnp.asarray(dft_im),
+            jnp.asarray(mel), log_mode="log10_clamp",
+        ).reshape(b, t, -1)
+    else:
+        re = patches @ jnp.asarray(dft_re)
+        im = patches @ jnp.asarray(dft_im)
+        power = re * re + im * im
+        mel_spec = power @ jnp.asarray(mel)  # (B, frames, 80)
+        log_spec = jnp.log10(jnp.maximum(mel_spec, 1e-10))
     max_val = jnp.max(log_spec, axis=(1, 2), keepdims=True)
     log_spec = jnp.maximum(log_spec, max_val - 8.0)
     log_spec = (log_spec + 4.0) / 4.0
@@ -210,6 +223,14 @@ def torchlibrosa_log_mel(
         x[..., None], filter_shape=(n_fft,), window_strides=(hop,),
         padding="VALID", dimension_numbers=("NHC", "HIO", "NHC"),
     )
+    from .pallas_mel import fused_log_mel, pallas_available
+
+    if pallas_available():
+        b, t, w = patches.shape
+        return fused_log_mel(
+            patches.reshape(b * t, w), jnp.asarray(dft_re), jnp.asarray(dft_im),
+            jnp.asarray(mel), log_mode="db_clamp",
+        ).reshape(b, t, -1)
     re = patches @ jnp.asarray(dft_re)
     im = patches @ jnp.asarray(dft_im)
     power = re * re + im * im
