@@ -89,10 +89,12 @@ class MSCLAPModel(EmbeddingModel):
 
         path = params_path(self.weights_name())
         if path.exists():
+            from ..weights.store import decode_config_meta
+
             stored = load_params(path)
             meta = stored.pop("__config__", None)
             if meta is not None:
-                fields = json.loads(bytes(np.asarray(meta)).decode())
+                fields = decode_config_meta(meta)
                 mel_fields = {k: v for k, v in fields.items() if k in _MelParams._fields}
                 cfg_fields = {k: v for k, v in fields.items() if k not in _MelParams._fields}
                 self.mel = self.mel._replace(**mel_fields)

@@ -56,10 +56,12 @@ class WhisperModel(EmbeddingModel):
 
         path = params_path(self.weights_name())
         if path.exists():
+            from ..weights.store import decode_config_meta
+
             stored = load_params(path)
             meta = stored.pop("__config__", None)
             if meta is not None:
-                self.cfg = replace(self.cfg, **json.loads(bytes(np.asarray(meta)).decode()))
+                self.cfg = replace(self.cfg, **decode_config_meta(meta))
             self.params = stored
         elif random_weights_enabled():
             log.warning(f"{self.name}: using RANDOM weights (FADTK_TPU_RANDOM_WEIGHTS=1)")

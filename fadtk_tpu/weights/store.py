@@ -62,6 +62,18 @@ def load_params(path: PathLike):
         return unflatten_pytree({k: data[k] for k in data.files})
 
 
+def decode_config_meta(meta) -> dict:
+    """Decode a stored ``__config__`` uint8 blob back to config kwargs.
+
+    JSON round-trips tuples as lists; frozen config dataclasses must stay
+    hashable (they key the jit caches), so sequence fields are re-tupled.
+    """
+    import json
+
+    fields = json.loads(bytes(np.asarray(meta)).decode())
+    return {k: tuple(v) if isinstance(v, list) else v for k, v in fields.items()}
+
+
 def params_path(model_name: str) -> Path:
     return checkpoint_dir() / f"{model_name}.npz"
 
