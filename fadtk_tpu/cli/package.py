@@ -19,7 +19,6 @@ from pathlib import Path
 import numpy as np
 
 from ..models.registry import get_all_models
-from ..runner.batch import cache_embedding_files
 from ..runner.fad import FrechetAudioDistance
 from ..utils import log
 
@@ -49,9 +48,11 @@ def main() -> None:
         if missing:
             raise SystemExit(f"Unknown models: {sorted(missing)}")
 
-    # 1. Embeddings for every model.
-    for model in models:
-        cache_embedding_files(args.directory, model, workers=args.workers)
+    # 1. Embeddings for every model (shared-backbone variants grouped: one
+    # forward serves all layer taps of a family).
+    from ..runner.batch import cache_embedding_files_multi
+
+    cache_embedding_files_multi(models, args.directory, workers=args.workers)
 
     # 2. Statistics for every model.
     data = {}

@@ -25,6 +25,60 @@ from . import profiling
 from .fad import FrechetAudioDistance, atomic_save_npy
 
 
+def cache_embedding_files_multi(
+    models: Sequence[EmbeddingModel],
+    directory: PathLike,
+    workers: int = 8,
+) -> None:
+    """Cache embeddings for many models over one directory, grouping per-layer
+    variants that share a backbone into a single forward per file.
+
+    The reference re-runs the full model for every layer variant
+    (fadtk/package.py:30-31 iterates ~120 variants); here one wav2vec2-style
+    forward serves up to 25 of them at once.
+    """
+    from collections import defaultdict
+
+    from ..models.speech.family import SpeechEmbeddingModel
+
+    groups: dict[str, list[SpeechEmbeddingModel]] = defaultdict(list)
+    singles: list[EmbeddingModel] = []
+    for m in models:
+        if isinstance(m, SpeechEmbeddingModel):
+            groups[m.weights_name()].append(m)
+        else:
+            singles.append(m)
+
+    files = dataset_files(directory)
+    for group in groups.values():
+        todo = [
+            f for f in files
+            if any(not get_cache_embedding_path(m.name, f).exists() for m in group)
+        ]
+        if not todo:
+            continue
+        names = ", ".join(m.name for m in group)
+        log.info(f"Caching embeddings for {directory} using {names} (shared backbone)")
+        primary = group[0]
+        primary.ensure_loaded()
+        fad = FrechetAudioDistance(primary, audio_load_worker=workers, load_model=False)
+        for f in todo:
+            with profiling.stage("load_audio"):
+                wav = fad.load_audio(f)
+            with profiling.stage("embed"):
+                all_layers = primary.embed_all_layers(np.asarray(wav))
+            for m in group:
+                cache = get_cache_embedding_path(m.name, f)
+                if cache.exists():
+                    continue
+                atomic_save_npy(cache, all_layers[m.layer].astype(np.float16))
+    profiling.report()
+
+    for m in singles:
+        log.info(f"Caching embeddings for {directory} using {m.name}")
+        cache_embedding_files(directory, m, workers=workers)
+
+
 def cache_embedding_files(
     files: Union[Sequence[Path], str, Path],
     ml: EmbeddingModel,
