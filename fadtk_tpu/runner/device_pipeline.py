@@ -1,0 +1,110 @@
+"""Device-resident dataset scoring: audio -> sharded embedding -> streaming
+covariance, without materializing per-file embedding .npy files.
+
+This is the TPU-native fast path for "score two directories" (the reference
+always round-trips embeddings through the filesystem, fad.py:188-209): clips
+are decoded/resampled on host threads, bucketed and batched, embedded on the
+mesh (dp over clips, optional tp over heads — parallel/tp.py), and folded into
+per-device Welford partials merged with one psum. Only (mu, M2, n) per batch
+returns to host, where batches merge with the exact Chan update.
+
+Statistics equal the cached-embedding path to float32 accumulation accuracy
+(the cached path stores float16 frames; this path applies the same float16
+round-trip before accumulating — tested).
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+from typing import Sequence
+
+import jax
+import numpy as np
+
+from ..metric.stats import merge_partial_stats
+from ..models.speech.family import BUCKET_SECONDS, SpeechEmbeddingModel
+from ..parallel.tp import make_sharded_eval_step
+from ..utils import PathLike, dataset_files, log, next_multiple
+from .fad import FrechetAudioDistance
+
+
+def dataset_stats_device(
+    model: SpeechEmbeddingModel,
+    files: Sequence[Path] | PathLike,
+    mesh=None,
+    batch: int = 16,
+    workers: int = 8,
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """(mu, cov, n_frames) of a dataset, computed on device.
+
+    ``mesh``: a (dp, tp) Mesh for multi-chip runs; None = single device
+    (a 1x1 mesh over the default device).
+    """
+    from ..parallel.mesh import make_mesh
+
+    if isinstance(files, (str, Path)):
+        files = dataset_files(files)
+    model.ensure_loaded()
+    if mesh is None:
+        mesh = make_mesh(1, tp=1)
+    dp = mesh.shape["dp"]
+    assert batch % dp == 0, f"batch {batch} must divide dp={dp}"
+
+    step = make_sharded_eval_step(model.cfg, model.params, mesh, model.layer)
+    fad = FrechetAudioDistance(model, load_model=False)
+
+    # Host decode on threads, overlapping device compute.
+    def prepare(f: Path):
+        wav = np.asarray(fad.load_audio(f))
+        if wav.shape[0] > model.limit:
+            wav = wav[: model.limit]
+        return wav
+
+    mu = np.zeros(model.num_features)
+    s = np.zeros((model.num_features, model.num_features))
+    n = 0
+
+    bucket_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        window = batch
+        for i in range(0, len(files), window):
+            clips = list(ex.map(prepare, files[i : i + window]))
+            bucket = next_multiple(max(c.shape[0] for c in clips), BUCKET_SECONDS * model.sr)
+            audio = np.zeros((batch, bucket), np.float32)
+            num_valid = np.ones((batch,), np.int32)
+            for j, c in enumerate(clips):
+                audio[j, : c.shape[0]] = c
+                num_valid[j] = c.shape[0]
+            mu_b, cov_b, n_b = step(model.params, audio, num_valid)
+            n_b = float(n_b)
+            if n_b < 1:
+                continue
+            s_b = np.asarray(cov_b, np.float64) * max(n_b - 1.0, 0.0)
+            mu, s, n = merge_partial_stats(
+                mu, s, n, np.asarray(mu_b, np.float64), s_b, int(n_b)
+            )
+
+    if n < 2:
+        return mu, np.zeros_like(s), n
+    return mu, s / (n - 1), n
+
+
+def score_datasets_device(
+    model: SpeechEmbeddingModel,
+    baseline: PathLike,
+    eval_dir: PathLike,
+    mesh=None,
+    batch: int = 16,
+) -> float:
+    """FAD between two datasets with both Gaussians computed on device; the
+    baseline may also be a stats source (npz/name) resolved the usual way."""
+    from ..metric.frechet import frechet_distance
+
+    fad = FrechetAudioDistance(model, load_model=True)
+    if Path(str(baseline)).is_dir():
+        mu1, cov1, _ = dataset_stats_device(model, baseline, mesh=mesh, batch=batch)
+    else:
+        mu1, cov1 = fad.load_stats(baseline)
+    mu2, cov2, _ = dataset_stats_device(model, eval_dir, mesh=mesh, batch=batch)
+    return frechet_distance(mu1, cov1, mu2, cov2)
