@@ -102,6 +102,38 @@ class EncodecEmbModel(EmbeddingModel):
             wav = wav[:, :limit]
         return wav  # (channels, T)
 
+    def embed_batch(self, clips: list[np.ndarray]) -> list[np.ndarray]:
+        """Cross-file batching for the 24k whole-file path: clips of identical
+        (channels, length) share one forward (music datasets are typically
+        uniform-length). Exact-length processing is preserved — no padding, so
+        the upstream reflect-padding semantics are untouched. The 48k segmented
+        path already batches within a file."""
+        if self.segment_length is not None:
+            return super().embed_batch(clips)
+        self.ensure_loaded()
+
+        from collections import defaultdict
+
+        prepared = []
+        for clip in clips:
+            c = np.asarray(clip, np.float32)
+            if c.ndim == 1:
+                c = c[None, :]
+            prepared.append(c)
+
+        groups: dict[tuple, list[int]] = defaultdict(list)
+        for i, c in enumerate(prepared):
+            groups[c.shape].append(i)
+
+        fwd = _jitted(self.cfg)
+        results: list[np.ndarray | None] = [None] * len(clips)
+        for idxs in groups.values():
+            stacked = np.stack([prepared[i] for i in idxs])
+            out = np.asarray(fwd(self.params, stacked)).astype(np.float16)
+            for j, i in enumerate(idxs):
+                results[i] = out[j]
+        return results  # type: ignore[return-value]
+
     def _embed(self, audio: np.ndarray) -> np.ndarray:
         audio = np.asarray(audio, np.float32)
         if audio.ndim == 1:

@@ -119,3 +119,24 @@ def test_load_wav_channel_conversion_and_truncation(tmp_path):
     wav = m.load_wav(f)
     assert wav.shape == (2, 48000)  # mono duplicated to stereo
     np.testing.assert_array_equal(wav[0], wav[1])
+
+
+def test_embed_batch_matches_individual():
+    from fadtk_tpu.models.encodec import EncodecEmbModel
+
+    m = EncodecEmbModel("24k")
+    m.ensure_loaded()
+    rng = np.random.default_rng(5)
+    clips = [
+        (rng.standard_normal(n) * 0.2).astype(np.float64)[None, :]
+        for n in (24000, 12000, 24000)
+    ]
+    batched = m.embed_batch(list(clips))
+    for clip, got in zip(clips, batched):
+        want = m.get_embedding(clip)
+        assert got.shape == want.shape and got.dtype == want.dtype == np.float16
+        # Batched XLA executables may differ from B=1 by float32 ulps before
+        # the float16 storage cast.
+        np.testing.assert_allclose(
+            got.astype(np.float32), want.astype(np.float32), atol=2e-3
+        )

@@ -138,3 +138,23 @@ def test_embed_batch_matches_individual(w2v2):
         want = w2v2.get_embedding(clip)
         assert got.dtype == np.float16
         np.testing.assert_array_equal(got, want)
+
+
+def test_score_individual_drops_too_short_embeddings(tmp_path, w2v2):
+    """A file whose embedding has < 2 frames errors per-file and is dropped
+    (reference behavior: fadtk/fad.py:380-383,391)."""
+    baseline = _make_dataset(tmp_path, "b3", 3, seed=1)
+    eval_dir = _make_dataset(tmp_path, "e3", 2, seed=2)
+    fad = FrechetAudioDistance(w2v2, load_model=False)
+    for d in (baseline, eval_dir):
+        for f in sorted(d.glob("*.wav")):
+            fad.cache_embedding_file(f)
+
+    # Corrupt one eval embedding to a single frame.
+    bad = eval_dir / "embeddings" / w2v2.name / "clip0.npy"
+    np.save(bad, np.load(bad)[:1])
+
+    csv = fad.score_individual(baseline, eval_dir, tmp_path / "i3.csv")
+    rows = csv.read_text().strip().split("\n")
+    assert len(rows) == 1  # only the intact file survives
+    assert "clip1" in rows[0]
