@@ -306,7 +306,7 @@ class FrechetAudioDistance:
                     kept.append(f)
                 except Exception as e:
                     log.error(f"per-song FAD failed for {f}: {e}")
-            scores = per_song_fad_device(mu, cov, embeds)
+            scores = per_song_fad_device(mu, cov, embeds) if embeds else []
             pairs = sorted(zip(kept, scores), key=lambda x: abs(x[1]))
             csv.parent.mkdir(parents=True, exist_ok=True)
             csv.write_text(
