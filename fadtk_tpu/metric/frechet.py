@@ -204,6 +204,37 @@ def frechet_distance(mu1, cov1, mu2, cov2, *, method: str = "eigh", eps: float =
     )
 
 
+class FrechetBaseline:
+    """Precomputed baseline factorization for bulk scoring.
+
+    ``Tr sqrtm(C1 C2) = Tr sqrtm(S1 C2 S1)`` needs ``S1 = sqrtm(C1)`` only
+    once per baseline — the FAD-inf sweep (25 evaluations) and per-song scoring
+    (one per file) reuse it, halving the host eigendecompositions versus
+    calling :func:`frechet_distance` per pair (the reference refactors nothing
+    and pays the full sqrtm each time, fadtk/fad.py:331-340, 376-378).
+    """
+
+    def __init__(self, mu1, cov1):
+        from scipy import linalg
+
+        self.mu1 = np.atleast_1d(np.asarray(mu1)).astype(np.float64)
+        cov1 = np.atleast_2d(np.asarray(cov1)).astype(np.float64)
+        self.tr1 = float(np.trace(cov1))
+        a, u = linalg.eigh(cov1)
+        self.s1 = (u * np.sqrt(np.clip(a, 0.0, None))) @ u.T
+
+    def distance(self, mu2, cov2) -> float:
+        from scipy import linalg
+
+        mu2 = np.atleast_1d(np.asarray(mu2)).astype(np.float64)
+        cov2 = np.atleast_2d(np.asarray(cov2)).astype(np.float64)
+        m = self.s1 @ cov2 @ self.s1
+        ev = linalg.eigvalsh((m + m.T) * 0.5)
+        tr_sqrt = float(np.sum(np.sqrt(np.clip(ev, 0.0, None))))
+        diff = self.mu1 - mu2
+        return float(diff.dot(diff) + self.tr1 + np.trace(cov2) - 2.0 * tr_sqrt)
+
+
 def calc_frechet_distance(mu1, cov1, mu2, cov2, eps: float = 1e-6):
     """Reference-named alias (fadtk/fad.py:51). Uses the default 'eigh' method,
     which agrees with the reference's value to float64 rounding for (P)SD

@@ -23,7 +23,7 @@ from typing import NamedTuple, Sequence
 
 import numpy as np
 
-from ..metric.frechet import frechet_distance
+from ..metric.frechet import FrechetBaseline, frechet_distance
 from ..metric.stats import calc_embd_statistics, calculate_embd_statistics_online
 from ..models.base import EmbeddingModel
 from ..utils import (
@@ -256,13 +256,21 @@ class FrechetAudioDistance:
         ns = [int(n) for n in np.linspace(min_n, max_n, steps)]
         rng = np.random.RandomState(seed)
 
+        # Factor sqrtm(C_base) once across the whole sweep (eigh path).
+        baseline_factor = (
+            FrechetBaseline(mu_base, cov_base) if self.frechet_method == "eigh" else None
+        )
+
         results: list[tuple[int, float]] = []
         for n in ns:
             indices = rng.choice(embeds.shape[0], size=n, replace=True)
             mu_ev, cov_ev = calc_embd_statistics(embeds[indices])
-            fad = frechet_distance(
-                mu_base, cov_base, mu_ev, cov_ev, method=self.frechet_method
-            )
+            if baseline_factor is not None:
+                fad = baseline_factor.distance(mu_ev, cov_ev)
+            else:
+                fad = frechet_distance(
+                    mu_base, cov_base, mu_ev, cov_ev, method=self.frechet_method
+                )
             results.append((n, fad))
 
         ys = np.array([r[1] for r in results])
@@ -316,10 +324,16 @@ class FrechetAudioDistance:
             )
             return csv
 
+        baseline_factor = (
+            FrechetBaseline(mu, cov) if self.frechet_method == "eigh" else None
+        )
+
         def _find_z_helper(f: Path):
             try:
                 embd = self.read_embedding_file(f)
                 mu_ev, cov_ev = calc_embd_statistics(embd)
+                if baseline_factor is not None:
+                    return baseline_factor.distance(mu_ev, cov_ev)
                 return frechet_distance(
                     mu, cov, mu_ev, cov_ev, method=self.frechet_method
                 )

@@ -97,3 +97,15 @@ def test_frechet_on_sample_covariances_of_f16_frames():
     ref = frechet_distance(mu1, cov1, mu2, cov2, method="reference")
     ours = frechet_distance(mu1, cov1, mu2, cov2, method="eigh")
     assert abs(ref - ours) < 1e-6 * max(1.0, abs(ref))
+
+
+def test_frechet_baseline_factor_matches_full():
+    from fadtk_tpu.metric.frechet import FrechetBaseline
+
+    rng = np.random.default_rng(9)
+    mu1, cov1 = _random_gaussian(rng, 48)
+    fb = FrechetBaseline(mu1, cov1)
+    for i in range(3):
+        mu2, cov2 = _random_gaussian(rng, 48, scale=1.0 + i)
+        full = frechet_distance(mu1, cov1, mu2, cov2, method="eigh")
+        assert abs(fb.distance(mu2, cov2) - full) < 1e-8 * max(1.0, abs(full))
