@@ -158,3 +158,28 @@ def test_score_individual_drops_too_short_embeddings(tmp_path, w2v2):
     rows = csv.read_text().strip().split("\n")
     assert len(rows) == 1  # only the intact file survives
     assert "clip1" in rows[0]
+
+
+def test_load_embeddings_max_count(tmp_path, w2v2):
+    """max_count early-stops by cumulative frames (reference fad.py:230-237)."""
+    d = _make_dataset(tmp_path, "mc", 4, seed=3)
+    fad = FrechetAudioDistance(w2v2, load_model=False)
+    for f in sorted(d.glob("*.wav")):
+        fad.cache_embedding_file(f)
+
+    full = fad.load_embeddings(d, concat=True)
+    per_file = full.shape[0] // 4
+    partial, files = fad.load_embeddings(d, max_count=per_file + 1, concat=False)
+    # Stops after the file that crosses the threshold: exactly 2 files read.
+    assert len(partial) == 2
+    assert len(files) == 4  # parity: the full file list is returned
+
+
+def test_registry_count_matches_reference_enumeration():
+    """Reference enumerates 143 always-on variants (fadtk/model_loader.py:676-695)
+    + DAC + 2x CDPAM when importable (:696-699) = 146; we register all."""
+    from fadtk_tpu.models.registry import get_all_models
+
+    models = get_all_models()
+    assert len(models) == 146
+    assert len({m.name for m in models}) == 146  # names unique
