@@ -99,3 +99,23 @@ def test_harness_fails_on_perturbed_golden(tmp_path, monkeypatch):
     with pytest.raises(SystemExit) as e:
         _run_harness(tmp_path, monkeypatch, samples, npz, golden, "scores2")
     assert e.value.code == 2
+
+
+def test_reads_real_reference_golden_csv():
+    """Parse the reference's actual golden CSV structure (data fixture)."""
+    from pathlib import Path
+
+    from fadtk_tpu.cli.test_harness import _read_golden
+
+    golden = Path("/root/reference/fadtk/test/samples_FAD_scores.csv")
+    if not golden.exists():
+        pytest.skip("reference fixtures not present")
+
+    models, data = _read_golden(golden)
+    assert len(models) == 21
+    assert "vggish" in models and "MERT_v1_95M_11" in models
+    assert "clap_laion_audio" in models
+    # Whole-set row present for every model column.
+    assert abs(data["vggish"]["samples/all"] - 5.12190021819319) < 1e-9
+    # 23 per-song rows + samples/all.
+    assert len(data["vggish"]) == 24
