@@ -22,7 +22,6 @@ from __future__ import annotations
 
 import csv as csv_mod
 import os
-import sys
 import traceback
 from argparse import ArgumentParser
 from pathlib import Path

@@ -18,9 +18,8 @@ same files (or the HF laion/clap-htsat-unfused tree) offline.
 
 from __future__ import annotations
 
-import json
 from dataclasses import replace
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,6 @@ recorded as conversion metadata so real checkpoints are self-describing.
 
 from __future__ import annotations
 
-import json
 from dataclasses import replace
 from functools import lru_cache
 from typing import NamedTuple

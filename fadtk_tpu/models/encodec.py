@@ -19,7 +19,6 @@ reflect-padding semantics match upstream bit-for-bit.
 
 from __future__ import annotations
 
-import json
 from dataclasses import replace
 from functools import lru_cache, partial
 

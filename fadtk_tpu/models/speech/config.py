@@ -7,7 +7,7 @@ layer tap (reference fadtk/model_loader.py:525-633, 254-288).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass(frozen=True)

@@ -24,7 +24,6 @@ TPU-first design decisions:
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp

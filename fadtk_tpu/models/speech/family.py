@@ -18,8 +18,7 @@ re-runs the full model per layer variant).
 
 from __future__ import annotations
 
-import json
-from dataclasses import asdict, replace
+from dataclasses import replace
 from functools import lru_cache, partial
 
 import jax

@@ -12,7 +12,7 @@ self-describing.
 
 from __future__ import annotations
 
-from .speech.config import SpeechEncoderConfig, base_config, large_config
+from .speech.config import base_config, large_config
 from .speech.family import SpeechEmbeddingModel
 
 

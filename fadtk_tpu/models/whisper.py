@@ -44,7 +44,6 @@ class WhisperModel(EmbeddingModel):
         return self.hf_source.replace("/", "__")
 
     def load_model(self) -> None:
-        import json
         from dataclasses import replace
 
         from ..weights.store import (

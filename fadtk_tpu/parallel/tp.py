@@ -15,11 +15,9 @@ remains the parity reference; tests assert TP == single-device.
 from __future__ import annotations
 
 from dataclasses import replace
-from functools import partial
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..metric.stats import (

@@ -19,13 +19,12 @@ from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 from typing import Sequence
 
-import jax
 import numpy as np
 
 from ..metric.stats import merge_partial_stats
 from ..models.speech.family import BUCKET_SECONDS, SpeechEmbeddingModel
 from ..parallel.tp import make_sharded_eval_step
-from ..utils import PathLike, dataset_files, log, next_multiple
+from ..utils import PathLike, dataset_files, next_multiple
 from .fad import FrechetAudioDistance
 
 
@@ -65,7 +64,6 @@ def dataset_stats_device(
     s = np.zeros((model.num_features, model.num_features))
     n = 0
 
-    bucket_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
     with ThreadPoolExecutor(max_workers=workers) as ex:
         window = batch
         for i in range(0, len(files), window):

@@ -2,4 +2,5 @@
 (reference fadtk/test/__main__.py)."""
 from ..cli.test_harness import main
 
-main()
+if __name__ == "__main__":
+    main()

@@ -15,7 +15,7 @@ from pathlib import Path
 import numpy as np
 
 from ..models.base import checkpoint_dir
-from ..utils import PathLike, log
+from ..utils import PathLike
 
 
 def flatten_pytree(tree, prefix="") -> dict[str, np.ndarray]:
