@@ -100,16 +100,28 @@ class CLAPLaionModel(EmbeddingModel):
         q = (np.clip(x, -1.0, 1.0) * 32767.0).astype(np.int16)
         return (q / 32767.0).astype(np.float32)
 
-    def _embed(self, audio: np.ndarray) -> np.ndarray:
+    def _make_chunks(self, audio: np.ndarray) -> np.ndarray:
+        """(n,) audio -> (n_chunks, 480000): quantization round-trip + the
+        reference's every-hop-start chunking with zero-padded tails."""
         audio = np.asarray(audio, dtype=np.float64).reshape(1, -1)
         audio = self._quantize_roundtrip(audio)[0]
-
-        length = audio.shape[0]
-        starts = list(range(0, length, _HOP))  # every hop start, incl. tails
+        starts = list(range(0, audio.shape[0], _HOP))
         chunks = np.zeros((len(starts), _CHUNK), np.float32)
         for i, s in enumerate(starts):
             seg = audio[s : s + _CHUNK]
             chunks[i, : seg.shape[0]] = seg
+        return chunks
 
-        out = _jitted(self.cfg)(self.params, jnp.asarray(chunks))
-        return np.asarray(out)
+    def _embed(self, audio: np.ndarray) -> np.ndarray:
+        chunks = self._make_chunks(audio)
+        return np.asarray(_jitted(self.cfg)(self.params, jnp.asarray(chunks)))
+
+    def embed_batch(self, clips: list[np.ndarray]) -> list[np.ndarray]:
+        """Cross-file chunk batching (chunks are independent fixed windows)."""
+        self.ensure_loaded()
+        per_file = [self._make_chunks(np.asarray(c)) for c in clips]
+        fwd = _jitted(self.cfg)
+        outs = self._batch_chunked(
+            per_file, lambda g: fwd(self.params, jnp.asarray(g)), batch_size=16
+        )
+        return [o.astype(np.float16) for o in outs]

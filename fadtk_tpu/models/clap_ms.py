@@ -121,12 +121,25 @@ class MSCLAPModel(EmbeddingModel):
             raise MissingWeightsError(self.weights_name(), "msclap CLAP_weights_2023.pth")
         self.loaded = True
 
-    def _embed(self, audio: np.ndarray) -> np.ndarray:
+    def _make_chunks(self, audio: np.ndarray) -> np.ndarray:
         audio = np.asarray(audio, dtype=np.float32).reshape(-1)
         starts = list(range(0, audio.shape[0], _HOP))
         chunks = np.zeros((len(starts), _CHUNK), np.float32)
         for i, s in enumerate(starts):
             seg = audio[s : s + _CHUNK]
             chunks[i, : seg.shape[0]] = seg
-        out = _jitted(self.cfg, self.mel)(self.params, jnp.asarray(chunks))
-        return np.asarray(out)
+        return chunks
+
+    def _embed(self, audio: np.ndarray) -> np.ndarray:
+        chunks = self._make_chunks(audio)
+        return np.asarray(_jitted(self.cfg, self.mel)(self.params, jnp.asarray(chunks)))
+
+    def embed_batch(self, clips: list[np.ndarray]) -> list[np.ndarray]:
+        """Cross-file chunk batching (chunks are independent fixed windows)."""
+        self.ensure_loaded()
+        per_file = [self._make_chunks(np.asarray(c)) for c in clips]
+        fwd = _jitted(self.cfg, self.mel)
+        outs = self._batch_chunked(
+            per_file, lambda g: fwd(self.params, jnp.asarray(g)), batch_size=16
+        )
+        return [o.astype(np.float16) for o in outs]

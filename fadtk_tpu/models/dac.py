@@ -20,6 +20,7 @@ import math
 from functools import lru_cache, partial
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..dsp.loudness import normalize_loudness
@@ -68,23 +69,35 @@ class DACModel(EmbeddingModel):
             )
         self.loaded = True
 
-    def _embed(self, audio: np.ndarray) -> np.ndarray:
+    def _make_windows(self, audio: np.ndarray) -> np.ndarray:
+        """audiotools sanitization (reference :222-223) + 5 s / 50%-hop windows."""
         x = np.asarray(audio, np.float64).reshape(-1)
-
-        # audiotools sanitization (reference :222-223).
         x = normalize_loudness(x, self.sr, -16.0).astype(np.float64)
         peak = np.abs(x).max()
         if peak > 1.0:
             x = x / peak
 
-        # Zero-pad to a whole number of windows, then 50%-overlap windows.
         n_win_units = max(1, math.ceil(x.shape[0] / _WIN))
         padded = np.zeros(n_win_units * _WIN, np.float32)
         padded[: x.shape[0]] = x
         num_windows = (padded.shape[0] - _WIN) // _HOP + 1
-        windows = np.stack(
+        return np.stack(
             [padded[i * _HOP : i * _HOP + _WIN] for i in range(num_windows)]
-        )
+        )[:, None, :]
 
-        out = _jitted(self.cfg)(self.params, windows[:, None, :])  # (n, 430, 1024)
+    def _embed(self, audio: np.ndarray) -> np.ndarray:
+        windows = self._make_windows(audio)
+        out = _jitted(self.cfg)(self.params, windows)  # (n, 430, 1024)
         return np.asarray(out).reshape(-1, self.num_features)
+
+    def embed_batch(self, clips: list[np.ndarray]) -> list[np.ndarray]:
+        """Cross-file window batching (5 s windows are independent)."""
+        self.ensure_loaded()
+        per_file = [self._make_windows(np.asarray(c)) for c in clips]
+        fwd = _jitted(self.cfg)
+        outs = self._batch_chunked(
+            per_file, lambda g: fwd(self.params, jnp.asarray(g)), batch_size=8
+        )
+        return [
+            o.reshape(-1, self.num_features).astype(np.float16) for o in outs
+        ]

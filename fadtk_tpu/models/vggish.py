@@ -142,3 +142,17 @@ class VGGishModel(EmbeddingModel):
         )
         out = _jit_vggish(self.params, padded)
         return np.asarray(out[:n])
+
+    def embed_batch(self, clips: list[np.ndarray]) -> list[np.ndarray]:
+        """Cross-file example batching (0.96 s examples are independent)."""
+        self.ensure_loaded()
+        per_file = [
+            np.asarray(vggish_log_mel_examples(jnp.asarray(c, jnp.float32)))
+            for c in clips
+        ]
+        outs = self._batch_chunked(
+            per_file,
+            lambda g: _jit_vggish(self.params, jnp.asarray(g)),
+            batch_size=_EXAMPLE_BATCH,
+        )
+        return [o.astype(np.float16) for o in outs]

@@ -12,6 +12,7 @@ from __future__ import annotations
 from functools import lru_cache, partial
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..dsp.mel import WHISPER_SAMPLES, whisper_log_mel
@@ -69,12 +70,23 @@ class WhisperModel(EmbeddingModel):
             raise MissingWeightsError(self.weights_name(), f"HF id {self.hf_source}")
         self.loaded = True
 
-    def _embed(self, audio: np.ndarray) -> np.ndarray:
-        # HF feature extractor: one fixed 30 s window (pad with zeros/truncate).
-        clip = np.zeros(WHISPER_SAMPLES, np.float32)
+    def _make_chunks(self, audio: np.ndarray) -> np.ndarray:
+        """One fixed 30 s window per clip (HF extractor pads/truncates)."""
+        clip = np.zeros((1, WHISPER_SAMPLES), np.float32)
         n = min(audio.shape[0], WHISPER_SAMPLES)
-        clip[:n] = audio[:n].astype(np.float32)
+        clip[0, :n] = audio[:n].astype(np.float32)
+        return clip
 
-        features = whisper_log_mel(clip[None])  # (1, 80, 3000)
-        out = _jitted(self.cfg)(self.params, features)  # (1, 2, d)
-        return np.asarray(out[0])
+    def _forward_clips(self, clips: np.ndarray) -> np.ndarray:
+        features = whisper_log_mel(jnp.asarray(clips))  # (B, 80, 3000)
+        return _jitted(self.cfg)(self.params, features)  # (B, 2, d)
+
+    def _embed(self, audio: np.ndarray) -> np.ndarray:
+        return np.asarray(self._forward_clips(self._make_chunks(audio))[0])
+
+    def embed_batch(self, clips: list[np.ndarray]) -> list[np.ndarray]:
+        """Cross-file batching: each clip is one static 30 s window."""
+        self.ensure_loaded()
+        per_file = [self._make_chunks(np.asarray(c)) for c in clips]
+        outs = self._batch_chunked(per_file, self._forward_clips, batch_size=8)
+        return [o.reshape(2, -1).astype(np.float16) for o in outs]

@@ -84,3 +84,15 @@ def test_msclap_converter_roundtrip():
     }
     ours = np.asarray(msclap_projection(p, jnp.asarray(x.numpy())))
     np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_chunked_embed_batch_matches_individual(laion):
+    rng = np.random.default_rng(10)
+    clips = [rng.standard_normal(n) * 0.2 for n in (96000, 48000, 144000)]
+    batched = laion.embed_batch(list(clips))
+    for clip, got in zip(clips, batched):
+        want = laion.get_embedding(clip)
+        assert got.shape == want.shape and got.dtype == np.float16
+        np.testing.assert_allclose(
+            got.astype(np.float32), want.astype(np.float32), atol=2e-3
+        )

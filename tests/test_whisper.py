@@ -96,3 +96,19 @@ def test_whisper_embed_path():
     emb = m.get_embedding(audio)
     assert emb.shape == (2, 384)  # the 2-frame quirk
     assert emb.dtype == np.float16
+
+
+def test_whisper_embed_batch_matches_individual():
+    from fadtk_tpu.models.whisper import WhisperModel
+
+    m = WhisperModel("tiny")
+    m.ensure_loaded()
+    rng = np.random.default_rng(11)
+    clips = [rng.standard_normal(n) * 0.2 for n in (16000 * 3, 16000 * 7)]
+    batched = m.embed_batch(list(clips))
+    for clip, got in zip(clips, batched):
+        want = m.get_embedding(clip)
+        assert got.shape == want.shape == (2, 384)
+        np.testing.assert_allclose(
+            got.astype(np.float32), want.astype(np.float32), atol=2e-3
+        )
