@@ -148,9 +148,69 @@ def bench_cpu_reference() -> float:
     return value
 
 
+def bench_sqrtm_fad_inf() -> dict:
+    """Secondary tracked metrics (BASELINE.md): sqrtm and FAD-inf wall times.
+
+    Written to .bench_cache/extra_metrics.json; the driver-facing stdout stays
+    a single JSON line.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from fadtk_tpu.metric.device_scoring import fad_inf_device
+    from fadtk_tpu.metric.frechet import FrechetBaseline, trace_sqrtm_product_ns
+
+    rng = np.random.default_rng(0)
+    d = 1024
+    a = rng.standard_normal((d, 2 * d))
+    cov1 = (a @ a.T / (2 * d)).astype(np.float64)
+    b = rng.standard_normal((d, 2 * d))
+    cov2 = (b @ b.T / (2 * d)).astype(np.float64)
+    mu1, mu2 = rng.standard_normal(d), rng.standard_normal(d)
+
+    # Device Newton-Schulz sqrtm trace (f32).
+    c1 = jnp.asarray(cov1, jnp.float32)
+    c2 = jnp.asarray(cov2, jnp.float32)
+    jax.block_until_ready(trace_sqrtm_product_ns(c1, c2))
+    t0 = time.perf_counter()
+    for _ in range(5):
+        jax.block_until_ready(trace_sqrtm_product_ns(c1, c2))
+    ns_ms = (time.perf_counter() - t0) / 5 * 1000
+
+    # Host f64 eigh sqrtm (parity path).
+    t0 = time.perf_counter()
+    fb = FrechetBaseline(mu1, cov1)
+    fb.distance(mu2, cov2)
+    eigh_ms = (time.perf_counter() - t0) * 1000
+
+    # Device FAD-inf sweep: 25 subsamples of a 100k x 768 frame matrix.
+    frames = rng.standard_normal((100_000, 768)).astype(np.float16)
+    a = rng.standard_normal((768, 1536))
+    cov_b = (a @ a.T / 1536).astype(np.float64)
+    mu_b = rng.standard_normal(768)
+    t0 = time.perf_counter()
+    fad_inf_device(mu_b, cov_b, frames, steps=25, min_n=500, seed=0)
+    fad_inf_s = time.perf_counter() - t0
+
+    extra = {
+        "sqrtm_ns_device_ms_d1024": round(ns_ms, 2),
+        "sqrtm_eigh_host_ms_d1024": round(eigh_ms, 2),
+        "fad_inf_device_25steps_100k_frames_s": round(fad_inf_s, 2),
+    }
+    out = CACHE.parent / "extra_metrics.json"
+    out.parent.mkdir(exist_ok=True)
+    out.write_text(json.dumps(extra, indent=2))
+    return extra
+
+
 def main() -> None:
+    import sys
+
     tpu = bench_tpu()
     cpu = bench_cpu_reference()
+    if "--extra" in sys.argv:
+        extra = bench_sqrtm_fad_inf()
+        print(json.dumps(extra))
     print(
         json.dumps(
             {
