@@ -60,3 +60,15 @@ def dataset_files(path: PathLike) -> list[Path]:
 def next_multiple(x: int, m: int) -> int:
     """Smallest multiple of ``m`` that is >= ``x`` (static-shape padding helper)."""
     return ((x + m - 1) // m) * m
+
+
+def find_sox_formats(sox_path: str = "sox") -> list[str]:
+    """Compatibility shim for the reference utility (fadtk/utils.py:49-57).
+
+    The reference probes SoX's supported formats for its legacy conversion
+    path, which is dead code behind TORCHAUDIO_RESAMPLING=True
+    (fadtk/fad.py:24,161-184). This framework decodes through the native libav
+    library (fadtk_tpu/native) and never shells out, so the probe degrades to
+    the reference's own failure behavior: an empty list.
+    """
+    return []
