@@ -25,6 +25,27 @@ if not log.handlers:
     log.setLevel(os.environ.get("FADTK_LOGLEVEL", "INFO"))
 
 
+def configure_compile_cache() -> None:
+    """Enable JAX's persistent compilation cache when FADTK_TPU_COMPILE_CACHE
+    points at a directory — repeated CLI invocations then skip recompiling the
+    per-model executables (XLA compiles are expensive on TPU)."""
+    cache = os.environ.get("FADTK_TPU_COMPILE_CACHE")
+    if not cache:
+        return
+    import jax
+
+    Path(cache).mkdir(parents=True, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        log.info(f"persistent XLA compile cache: {cache}")
+    except Exception as e:  # older jax versions
+        log.warning(f"could not enable compile cache: {e}")
+
+
+configure_compile_cache()
+
+
 def get_cache_embedding_path(model: str, audio_path: PathLike) -> Path:
     """Path of the cached embedding .npy for an audio file.
 
