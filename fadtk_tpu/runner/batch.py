@@ -113,8 +113,11 @@ def cache_embedding_files(
             raise
 
     window = max(1, workers) * 4  # bound decoded-audio RAM while overlapping IO
+    done = 0
     with ThreadPoolExecutor(max_workers=max(1, workers)) as ex:
         for i in range(0, len(files), window):
+            if done:
+                log.info(f"[{ml.name}] {done}/{len(files)} files embedded")
             group = list(ex.map(prepare, files[i : i + window]))
             todo = [
                 (f, wav) for f, wav in group
@@ -130,4 +133,5 @@ def cache_embedding_files(
                 if embd.dtype == np.float32:
                     embd = embd.astype(np.float16)
                 atomic_save_npy(get_cache_embedding_path(ml.name, f), embd)
+            done += len(group)
     profiling.report()
