@@ -168,14 +168,18 @@ def bench_sqrtm_fad_inf() -> dict:
     cov2 = (b @ b.T / (2 * d)).astype(np.float64)
     mu1, mu2 = rng.standard_normal(d), rng.standard_normal(d)
 
-    # Device Newton-Schulz sqrtm trace (f32).
+    # Device Newton-Schulz sqrtm trace (f32); fresh inputs per iteration so no
+    # layer of the stack can reuse a previous result.
     c1 = jnp.asarray(cov1, jnp.float32)
     c2 = jnp.asarray(cov2, jnp.float32)
     jax.block_until_ready(trace_sqrtm_product_ns(c1, c2))
+    iters = 10
     t0 = time.perf_counter()
-    for _ in range(5):
-        jax.block_until_ready(trace_sqrtm_product_ns(c1, c2))
-    ns_ms = (time.perf_counter() - t0) / 5 * 1000
+    acc = 0.0
+    for i in range(iters):
+        acc += float(trace_sqrtm_product_ns(c1 * (1.0 + 1e-6 * i), c2))
+    ns_ms = (time.perf_counter() - t0) / iters * 1000
+    assert np.isfinite(acc)
 
     # Host f64 eigh sqrtm (parity path).
     t0 = time.perf_counter()
