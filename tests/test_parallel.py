@@ -31,12 +31,24 @@ CFG_KW = dict(
 
 
 @pytest.mark.parametrize(
-    "attention_type,tp",
-    [("standard", 1), ("standard", 2), ("standard", 4), ("wavlm", 2)],
+    "attention_type,tp,stable",
+    [
+        ("standard", 1, False),
+        ("standard", 2, False),
+        ("standard", 4, False),
+        ("standard", 2, True),  # pre-norm (hubert/wavlm-large style)
+        ("wavlm", 2, False),
+    ],
 )
-def test_sharded_eval_step_matches_single_device(attention_type, tp):
+def test_sharded_eval_step_matches_single_device(attention_type, tp, stable):
     cfg = SpeechEncoderConfig(
-        **CFG_KW, attention_type=attention_type, num_buckets=64, max_bucket_distance=160
+        **CFG_KW,
+        attention_type=attention_type,
+        num_buckets=64,
+        max_bucket_distance=160,
+        do_stable_layer_norm=stable,
+        feat_extract_norm="layer" if stable else "group",
+        conv_bias=stable,
     )
     params = init_speech_encoder_params(cfg, jax.random.PRNGKey(0))
 
