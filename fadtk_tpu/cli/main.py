@@ -46,6 +46,10 @@ def main() -> None:
     ap.add_argument("--device-scoring", action="store_true",
                     help="run the FAD-inf sweep / per-song scoring on the "
                          "accelerator (float32 Newton-Schulz fast mode)")
+    ap.add_argument("--frechet-method", type=str, default="eigh",
+                    choices=["eigh", "reference", "newton_schulz"],
+                    help="sqrtm evaluator: f64 eigh (default), the reference's "
+                         "bit-faithful scipy dual computation, or device f32 NS")
     args = ap.parse_args()
 
     model = models[args.model]
@@ -61,6 +65,7 @@ def main() -> None:
         model,
         audio_load_worker=args.workers,
         load_model=False,
+        frechet_method=args.frechet_method,
         device_scoring=args.device_scoring,
     )
     inf_r2 = None
