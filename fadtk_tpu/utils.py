@@ -26,19 +26,26 @@ if not log.handlers:
 
 
 def configure_compile_cache() -> None:
-    """Enable JAX's persistent compilation cache when FADTK_TPU_COMPILE_CACHE
-    points at a directory — repeated CLI invocations then skip recompiling the
-    per-model executables (XLA compiles are expensive on TPU)."""
+    """Enable JAX's persistent compilation cache — repeated CLI invocations
+    skip recompiling the per-model executables (XLA compiles are expensive on
+    TPU). Default location: $FADTK_TPU_CHECKPOINTS/xla_cache (or
+    ~/.cache/fadtk_tpu/xla_cache); override with FADTK_TPU_COMPILE_CACHE=<dir>
+    or disable with FADTK_TPU_COMPILE_CACHE=0."""
     cache = os.environ.get("FADTK_TPU_COMPILE_CACHE")
-    if not cache:
+    if cache in ("0", "off", "none"):
         return
+    if not cache:
+        base = os.environ.get(
+            "FADTK_TPU_CHECKPOINTS", str(Path.home() / ".cache" / "fadtk_tpu")
+        )
+        cache = str(Path(base) / "xla_cache")
     import jax
 
     Path(cache).mkdir(parents=True, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        log.info(f"persistent XLA compile cache: {cache}")
+        log.debug(f"persistent XLA compile cache: {cache}")
     except Exception as e:  # older jax versions
         log.warning(f"could not enable compile cache: {e}")
 
