@@ -78,3 +78,48 @@ def test_decode_missing_file_raises():
 
     with pytest.raises(FileNotFoundError):
         decode_audio("/nonexistent/file.opus")
+
+
+def test_decode_garbage_bytes_raises(tmp_path):
+    from fadtk_tpu.audio.decode import decode_audio
+
+    f = tmp_path / "garbage.opus"
+    f.write_bytes(b"\x00\x01\x02 not audio at all" * 100)
+    with pytest.raises(RuntimeError, match="decode failed"):
+        decode_audio(f)
+
+
+def test_decode_empty_file_raises(tmp_path):
+    from fadtk_tpu.audio.decode import decode_audio
+
+    f = tmp_path / "empty.wav"
+    f.write_bytes(b"")
+    with pytest.raises(RuntimeError):
+        decode_audio(f)
+
+
+def test_wav_reader_rejects_non_riff(tmp_path):
+    f = tmp_path / "x.wav"
+    f.write_bytes(b"NOTRIFFDATA" * 10)
+    with pytest.raises(ValueError, match="not a RIFF"):
+        read_wav_int16(f)
+
+
+def test_wav_reader_rejects_truncated_header(tmp_path):
+    f = tmp_path / "t.wav"
+    f.write_bytes(b"RIFF\x10\x00\x00\x00WAVE")  # no fmt/data chunks
+    with pytest.raises(ValueError, match="missing fmt/data"):
+        read_wav_int16(f)
+
+
+def test_native_decoder_decodes_own_wav(tmp_path):
+    """The libav decoder also handles plain wavs (fallback interop)."""
+    from fadtk_tpu.audio.decode import decode_audio
+
+    rng = np.random.default_rng(7)
+    x = (rng.standard_normal(8000) * 8000).astype(np.int16)
+    f = tmp_path / "w.wav"
+    write_wav_int16(f, x, 16000)
+    data, sr = decode_audio(f)
+    assert sr == 16000 and data.shape == (1, 8000)
+    np.testing.assert_allclose(data[0], x / 32768.0, atol=1e-4)
