@@ -7,9 +7,15 @@ from .stats import (
     welford_merge,
     welford_finalize,
 )
-from .frechet import frechet_distance, calc_frechet_distance, trace_sqrtm_product_ns
+from .frechet import (
+    FrechetBaseline,
+    calc_frechet_distance,
+    frechet_distance,
+    trace_sqrtm_product_ns,
+)
 
 __all__ = [
+    "FrechetBaseline",
     "calc_embd_statistics",
     "calculate_embd_statistics_online",
     "merge_partial_stats",
