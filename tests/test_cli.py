@@ -23,22 +23,32 @@ def _make_dataset(tmp_path, name, n_files, seed, sr=16000, seconds=1.5):
 
 
 def test_registry_names_match_reference_inventory():
+    """Exact name-set parity with the reference enumeration
+    (fadtk/model_loader.py:676-701; naming rules :118,261,533,570,607,651)."""
     from fadtk_tpu.models.registry import get_all_models
 
+    def speech(prefix, default_layer, layers):
+        return {
+            f"{prefix}" if v == default_layer else f"{prefix}-{v}" for v in layers
+        }
+
+    expected = {"clap-2023", "clap-laion-audio", "clap-laion-music", "vggish"}
+    expected |= speech("MERT-v1-95M", 12, range(1, 13))
+    expected |= {"encodec-emb", "encodec-emb-48k"}
+    expected |= speech("w2v2-base", 12, range(1, 13))
+    expected |= speech("w2v2-large", 24, range(1, 25))
+    expected |= speech("hubert-base", 12, range(1, 13))
+    expected |= speech("hubert-large", 24, range(1, 25))
+    expected |= speech("wavlm-base", 12, range(1, 13))
+    expected |= speech("wavlm-base-plus", 12, range(1, 13))
+    expected |= speech("wavlm-large", 24, range(1, 25))
+    expected |= {f"whisper-{s}" for s in ("tiny", "small", "base", "medium", "large")}
+    expected |= {"dac-44kHz", "cdpam-acoustic", "cdpam-content"}
+
     names = {m.name for m in get_all_models()}
-    # Spot-check the reference inventory (SURVEY.md 2.3).
-    expected = {
-        "clap-2023", "clap-laion-audio", "clap-laion-music", "vggish",
-        "MERT-v1-95M", "MERT-v1-95M-1", "MERT-v1-95M-11",
-        "encodec-emb", "encodec-emb-48k",
-        "w2v2-base", "w2v2-base-1", "w2v2-large", "w2v2-large-23",
-        "hubert-base", "hubert-large", "wavlm-base", "wavlm-base-plus",
-        "wavlm-large", "wavlm-large-23",
-        "whisper-tiny", "whisper-base", "whisper-small", "whisper-medium",
-        "whisper-large", "dac-44kHz", "cdpam-acoustic", "cdpam-content",
-    }
-    missing = expected - names
-    assert not missing, f"missing registry names: {sorted(missing)}"
+    assert names == expected, (
+        f"missing: {sorted(expected - names)}; extra: {sorted(names - expected)}"
+    )
 
 
 def test_fadtk_cli_plain_score(tmp_path, monkeypatch, capsys):
