@@ -250,7 +250,11 @@ def htsat_forward(cfg: HTSATConfig, params, input_features: jax.Array) -> jax.Ar
     # spec_size * freq_ratio, then 4-crop stacking into a square image.
     spec_width = cfg.spec_size * cfg.freq_ratio  # e.g. 1024
     spec_height = cfg.spec_size // cfg.freq_ratio  # e.g. 64
-    assert t <= spec_width and mel <= spec_height, "input longer than the swin window"
+    assert t <= spec_width, "input longer than the swin window"
+    # The 4-crop restack below requires mel * freq_ratio == spec_size (all
+    # registered CLAP configs satisfy it; HF would bicubic-interpolate the
+    # frequency axis for mel < spec_height, a case no checkpoint uses).
+    assert mel == spec_height, f"mel bins {mel} != spec_size/freq_ratio {spec_height}"
     if t < spec_width:
         interp = jnp.asarray(bicubic_interp_matrix(t, spec_width))
         x = jnp.einsum("ot,bcts->bcos", interp, x, preferred_element_type=x.dtype)
