@@ -67,7 +67,9 @@ def _trace_sqrtm_product_reference(
     from scipy import linalg
 
     prod = cov1.dot(cov2)
-    covmean_sqrtm, _ = linalg.sqrtm(prod, disp=False)
+    # scipy >= 1.16 deprecates disp= (removed in 1.18); the bare call returns
+    # the array directly, matching the reference's sqrtm(..., disp=False)[0].
+    covmean_sqrtm = linalg.sqrtm(prod)
 
     d, v = linalg.eig(prod)
     covmean = (v * scisqrt(d)) @ linalg.inv(v)

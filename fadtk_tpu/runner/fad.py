@@ -55,10 +55,23 @@ class FADInfResults(NamedTuple):
     points: list[tuple[int, float]]
 
 
-def _shipped_stats_dir() -> Path:
-    """Directory of packaged baseline statistics (.npz), the equivalent of the
-    reference's fadtk/stats/ (fadtk/fad.py:251)."""
-    return Path(__file__).parent.parent / "baselines"
+def _shipped_stats_dirs() -> list[Path]:
+    """Directories of packaged baseline statistics (.npz), the equivalent of
+    the reference's fadtk/stats/ (fadtk/fad.py:251).
+
+    ``FADTK_TPU_BASELINES`` (os.pathsep-separated directories) is searched
+    first, so a machine that has the reference's own ``fma_pop.npz`` (the key
+    format is identical — '{model}.mu'/'{model}.cov', fadtk/package.py:34-42)
+    can drop it in and get instant `fadtk <model> fma_pop <dir>` parity without
+    regenerating statistics from FMA audio.
+    """
+    dirs = [
+        Path(d)
+        for d in os.environ.get("FADTK_TPU_BASELINES", "").split(os.pathsep)
+        if d
+    ]
+    dirs.append(Path(__file__).parent.parent / "baselines")
+    return dirs
 
 
 class FrechetAudioDistance:
@@ -179,9 +192,11 @@ class FrechetAudioDistance:
         4. a dataset dir of embeddings -> online statistics, then cache them.
         """
         if isinstance(path, str):
-            stats = _shipped_stats_dir() / (path.lower() + ".npz")
-            if stats.exists():
-                path = stats
+            for d in _shipped_stats_dirs():
+                stats = d / (path.lower() + ".npz")
+                if stats.exists():
+                    path = stats
+                    break
 
         path = Path(path)
 

@@ -125,3 +125,21 @@ def test_load_stats_rejects_wrong_model(tmp_path):
     fad = FrechetAudioDistance(get_model("w2v2-base"), load_model=False)
     with pytest.raises(ValueError, match="doesn't contain data for model"):
         fad.load_stats(tmp_path / "s.npz")
+
+
+def test_baselines_env_override(tmp_path, monkeypatch):
+    """FADTK_TPU_BASELINES directories resolve string baseline names first, so
+    the reference's own fma_pop.npz (same '{model}.mu'/'{model}.cov' key
+    format, fadtk/package.py:34-42) can be dropped in without regeneration."""
+    from fadtk_tpu.models.registry import get_model
+    from fadtk_tpu.runner.fad import FrechetAudioDistance
+
+    mu = np.arange(768, dtype=np.float64)
+    cov = np.eye(768)
+    np.savez(tmp_path / "fma_pop.npz", **{"w2v2-base.mu": mu, "w2v2-base.cov": cov})
+    monkeypatch.setenv("FADTK_TPU_BASELINES", str(tmp_path))
+
+    fad = FrechetAudioDistance(get_model("w2v2-base"), load_model=False)
+    got_mu, got_cov = fad.load_stats("fma_pop")
+    np.testing.assert_array_equal(got_mu, mu)
+    np.testing.assert_array_equal(got_cov, cov)
