@@ -217,7 +217,25 @@ def convert_dac_model(model, checkpoint: str) -> None:
     log.info(f"Saved {out}")
 
 
+def convert_cdpam_model(model, checkpoint: str) -> None:
+    """Convert the cdpam package's scratch_loss checkpoint (the file
+    cdpam.CDPAM() auto-downloads; reference fadtk/model_loader.py:435)."""
+    import torch
+
+    from .cdpam import convert_cdpam
+
+    ck = torch.load(checkpoint, map_location="cpu", weights_only=False)
+    params, cfg_kwargs = convert_cdpam(ck)
+    params["__config__"] = np.frombuffer(
+        json.dumps(cfg_kwargs).encode(), dtype=np.uint8
+    )
+    out = params_path(model.weights_name())
+    save_params(params, out)
+    log.info(f"Saved {out} (inferred geometry: {cfg_kwargs})")
+
+
 def convert_model(name: str, checkpoint: str | None = None) -> None:
+    from ..models.cdpam import CdpamModel
     from ..models.clap_laion import CLAPLaionModel
     from ..models.clap_ms import MSCLAPModel
     from ..models.dac import DACModel
@@ -247,6 +265,13 @@ def convert_model(name: str, checkpoint: str | None = None) -> None:
                 "dac-44kHz conversion needs --checkpoint weights_44khz.pth"
             )
         convert_dac_model(model, checkpoint)
+    elif isinstance(model, CdpamModel):
+        if not checkpoint:
+            raise SystemExit(
+                "cdpam conversion needs --checkpoint scratch_loss_*.pth "
+                "(the file the cdpam pip package downloads)"
+            )
+        convert_cdpam_model(model, checkpoint)
     else:
         raise NotImplementedError(
             f"No converter wired for {type(model).__name__} yet"

@@ -44,6 +44,8 @@ FAMILIES = [
     "clap-laion-audio",
     "clap-2023",
     "dac-44kHz",
+    "cdpam-acoustic",
+    "cdpam-content",
 ]
 
 SAMPLES = Path(os.environ.get("FADTK_REF_TEST", "/root/reference/fadtk/test")) / "samples"

@@ -30,6 +30,8 @@ FAMILIES = [
     ("clap-laion-audio", 512, 9),
     ("clap-2023", 1024, 9),
     ("dac-44kHz", 1024, 800),
+    ("cdpam-acoustic", 512, 9),
+    ("cdpam-content", 512, 9),
 ]
 
 
