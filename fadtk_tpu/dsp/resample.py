@@ -101,14 +101,39 @@ def _resample_device(x: jax.Array, sr_in: int, sr_out: int) -> jax.Array:
 
 
 def resample_kaiser(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
-    """Resample a mono waveform (host API). Identity when rates match."""
+    """Resample waveforms on the HOST (numpy/BLAS). Identity when rates match.
+
+    This is the convert/cache path (runner.fad.load_audio). It deliberately
+    does NOT touch the accelerator: each call would otherwise pay one tunneled
+    device dispatch (~25 ms here) plus a fresh XLA compile per distinct clip
+    length, which caps dataset conversion at ~40 files/s regardless of CPU
+    count. The polyphase application is the same framed GEMM as the device
+    path — (n_blocks, K) windows x (K, new) filters — executed by BLAS sgemm
+    in bounded chunks, so decode threads scale it across cores. The on-device
+    pipeline keeps using ``resample_batch``.
+    """
     if sr_in == sr_out:
         return np.asarray(x, dtype=np.float32)
+    kernels, width, orig, new = kaiser_sinc_kernel(int(sr_in), int(sr_out))
     x = np.asarray(x, dtype=np.float32)
     squeeze = x.ndim == 1
     if squeeze:
         x = x[None, :]
-    y = np.asarray(_resample_device(jnp.asarray(x), int(sr_in), int(sr_out)))
+    b, length = x.shape
+    xp = np.pad(x, ((0, 0), (width, width + orig)))
+    taps = kernels.shape[1]
+    n_blocks = (xp.shape[1] - taps) // orig + 1
+    # (b, n_blocks, taps) strided view; GEMM chunks bound the materialized copy
+    # to ~32 MB so 3-minute 48 kHz clips don't balloon (taps/orig ~ 137 there).
+    windows = np.lib.stride_tricks.sliding_window_view(xp, taps, axis=1)[:, ::orig]
+    kt = kernels.T  # (taps, new)
+    out = np.empty((b, n_blocks * new), np.float32)
+    chunk = max(1, (1 << 23) // max(taps, 1))
+    for s in range(0, n_blocks, chunk):
+        e = min(s + chunk, n_blocks)
+        out[:, s * new : e * new] = (windows[:, s:e] @ kt).reshape(b, -1)
+    target_len = int(math.ceil(new * length / orig))
+    y = out[:, :target_len]
     return y[0] if squeeze else y
 
 

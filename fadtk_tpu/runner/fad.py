@@ -7,8 +7,10 @@ API parity with the reference's ``FrechetAudioDistance`` (fadtk/fad.py:123-395):
 ``score_individual`` — same cache layout, same stats resolution order, same CSV
 conventions. TPU-native differences:
 
-- audio conversion uses the native libav decoder + the JAX Kaiser-sinc GEMM
-  resampler instead of torchaudio (same filter constants, fadtk/fad.py:151-158);
+- audio conversion uses the native libav decoder + the host BLAS Kaiser-sinc
+  polyphase resampler instead of torchaudio (same filter constants,
+  fadtk/fad.py:151-158); the convert stage never touches the accelerator, so
+  it thread-scales across host cores and pays no dispatch/compile latency;
 - FAD-inf subsampling takes an explicit seed (the reference's np.random.choice at
   fadtk/fad.py:333 is unseeded and therefore unreproducible);
 - bulk scoring paths can run the Gaussian math on device (Newton-Schulz sqrtm).

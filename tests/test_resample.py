@@ -82,3 +82,18 @@ def test_kernel_constants_and_shape():
     # DC gain of each phase filter must be ~1 (sinc interpolation preserves DC).
     dc = kernels.sum(axis=1)
     np.testing.assert_allclose(dc, 1.0, atol=5e-4)
+
+
+def test_host_matches_device_path():
+    """The convert path's host GEMM and the pipeline's device conv are the
+    same polyphase math; they must agree to float32 noise."""
+    import jax.numpy as jnp
+
+    from fadtk_tpu.dsp.resample import resample_batch
+
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((2, 12345)).astype(np.float32)
+    host = resample_kaiser(x, 44100, 16000)
+    dev = np.asarray(resample_batch(jnp.asarray(x), 44100, 16000))
+    assert host.shape == dev.shape
+    np.testing.assert_allclose(host, dev, atol=2e-5)
