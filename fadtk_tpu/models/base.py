@@ -113,6 +113,16 @@ class EmbeddingModel(ABC):
         """Embed several clips; subclasses override with batched device code."""
         return [self.get_embedding(c) for c in clips]
 
+    def dp_spec(self):
+        """Plug into the generic dp-sharded chunk pipeline (parallel/dp.py).
+
+        Families whose inference is a fixed-window chunk forward return a
+        ``DpChunkSpec``; families that cannot share a static window shape
+        (e.g. encodec-emb 24k runs whole files at exact length) return None
+        and fall back to the host cached-embedding path.
+        """
+        return None
+
     @staticmethod
     def _batch_chunked(
         per_file_chunks: list[np.ndarray],

@@ -150,3 +150,25 @@ class CdpamModel(EmbeddingModel):
             outs.append(merged[pos : pos + n].astype(np.float16))
             pos += n
         return outs
+
+    def dp_spec(self):
+        """Mesh-sharded chunk pipeline: 1 s chunks + valid lengths (the
+        per-layer masking keeps ragged tails exact inside the static shape)."""
+        from ..parallel.dp import DpChunkSpec
+
+        self.ensure_loaded()
+
+        def fwd(params, chunks, lengths):
+            _, acoustic, content = cdpam_forward(self.cfg, params, chunks, lengths)
+            return l2_normalize(acoustic if self.mode == "acoustic" else content)
+
+        def mk(clip):
+            chunks, lengths = self._chunk(np.asarray(clip, np.float32))
+            return (chunks, lengths)
+
+        return DpChunkSpec(
+            forward=fwd,
+            make_chunks=mk,
+            params=self.params,
+            num_features=self.num_features,
+        )

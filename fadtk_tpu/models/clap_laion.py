@@ -43,15 +43,19 @@ _HOP = _SR
 _MEL = dict(sr=_SR, n_fft=1024, hop=480, n_mels=64, fmin=50.0, fmax=14000.0)
 
 
+def _forward(cfg: HTSATConfig, params, chunks):
+    """(B, 480000) -> (B, proj_dim) normalized."""
+    mel = torchlibrosa_log_mel(chunks, **_MEL)  # (B, 1001, 64)
+    pooled = htsat_forward(cfg, params, mel[:, None, :, :])
+    proj = clap_audio_projection(params["audio_projection"], pooled)
+    return proj / jnp.linalg.norm(proj, axis=-1, keepdims=True)
+
+
 @lru_cache(maxsize=8)
 def _jitted(cfg: HTSATConfig):
-    def fn(params, chunks):  # (B, 480000) -> (B, proj_dim) normalized
-        mel = torchlibrosa_log_mel(chunks, **_MEL)  # (B, 1001, 64)
-        pooled = htsat_forward(cfg, params, mel[:, None, :, :])
-        proj = clap_audio_projection(params["audio_projection"], pooled)
-        return proj / jnp.linalg.norm(proj, axis=-1, keepdims=True)
+    from functools import partial
 
-    return jax.jit(fn)
+    return jax.jit(partial(_forward, cfg))
 
 
 class CLAPLaionModel(EmbeddingModel):
@@ -125,3 +129,18 @@ class CLAPLaionModel(EmbeddingModel):
             per_file, lambda g: fwd(self.params, jnp.asarray(g)), batch_size=16
         )
         return [o.astype(np.float16) for o in outs]
+
+    def dp_spec(self):
+        """Mesh-sharded chunk pipeline: 10 s windows are independent, so the
+        chunk stream shards over dp with no cross-chunk state."""
+        from functools import partial
+
+        from ..parallel.dp import DpChunkSpec
+
+        self.ensure_loaded()
+        return DpChunkSpec(
+            forward=partial(_forward, self.cfg),
+            make_chunks=lambda c: (self._make_chunks(c),),
+            params=self.params,
+            num_features=self.num_features,
+        )

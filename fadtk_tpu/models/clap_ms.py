@@ -53,17 +53,21 @@ def msclap_projection(p, x: jax.Array) -> jax.Array:
     return (y - mu) * jax.lax.rsqrt(var + 1e-5) * p["layer_norm"]["scale"] + p["layer_norm"]["bias"]
 
 
+def _forward(cfg: HTSATConfig, mel: _MelParams, params, chunks):
+    """(B, 308700) -> (B, 1024)."""
+    m = torchlibrosa_log_mel(
+        chunks, sr=_SR, n_fft=mel.n_fft, hop=mel.hop, n_mels=mel.n_mels,
+        fmin=mel.fmin, fmax=mel.fmax,
+    )
+    pooled = htsat_forward(cfg, params, m[:, None, :, :])
+    return msclap_projection(params["projection"], pooled)
+
+
 @lru_cache(maxsize=4)
 def _jitted(cfg: HTSATConfig, mel: _MelParams):
-    def fn(params, chunks):  # (B, 308700) -> (B, 1024)
-        m = torchlibrosa_log_mel(
-            chunks, sr=_SR, n_fft=mel.n_fft, hop=mel.hop, n_mels=mel.n_mels,
-            fmin=mel.fmin, fmax=mel.fmax,
-        )
-        pooled = htsat_forward(cfg, params, m[:, None, :, :])
-        return msclap_projection(params["projection"], pooled)
+    from functools import partial
 
-    return jax.jit(fn)
+    return jax.jit(partial(_forward, cfg, mel))
 
 
 class MSCLAPModel(EmbeddingModel):
@@ -143,3 +147,17 @@ class MSCLAPModel(EmbeddingModel):
             per_file, lambda g: fwd(self.params, jnp.asarray(g)), batch_size=16
         )
         return [o.astype(np.float16) for o in outs]
+
+    def dp_spec(self):
+        """Mesh-sharded chunk pipeline: 7 s windows are independent."""
+        from functools import partial
+
+        from ..parallel.dp import DpChunkSpec
+
+        self.ensure_loaded()
+        return DpChunkSpec(
+            forward=partial(_forward, self.cfg, self.mel),
+            make_chunks=lambda c: (self._make_chunks(np.asarray(c)),),
+            params=self.params,
+            num_features=self.num_features,
+        )

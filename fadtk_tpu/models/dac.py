@@ -101,3 +101,17 @@ class DACModel(EmbeddingModel):
         return [
             o.reshape(-1, self.num_features).astype(np.float16) for o in outs
         ]
+
+    def dp_spec(self):
+        """Mesh-sharded chunk pipeline: 5 s windows are independent (the
+        zero-padded final window is part of the reference semantics, so every
+        window frame is a valid frame)."""
+        from ..parallel.dp import DpChunkSpec
+
+        self.ensure_loaded()
+        return DpChunkSpec(
+            forward=partial(dac_encode, self.cfg),
+            make_chunks=lambda c: (self._make_windows(np.asarray(c)),),
+            params=self.params,
+            num_features=self.num_features,
+        )

@@ -158,3 +158,51 @@ class EncodecEmbModel(EmbeddingModel):
             outs.append(np.asarray(fwd(self.params, jnp.asarray(tail))))
         frames = [o.reshape(-1, self.num_features) for o in outs]
         return np.concatenate(frames, axis=0)
+
+    def dp_spec(self):
+        """Mesh-sharded chunk pipeline — 48k variant only.
+
+        The 48k model's full 1 s segments are a natural static batch; the
+        ragged final segment must run at its EXACT length (zero-padding would
+        change the reflect-pad conv values, reference
+        fadtk/model_loader.py:139-152), so it is computed by the ``tail``
+        callback outside the sharded path. The 24k variant embeds whole files
+        at exact length — no static window exists — and returns None (host
+        cached path).
+        """
+        if self.segment_length is None:
+            return None
+        from ..parallel.dp import DpChunkSpec
+
+        self.ensure_loaded()
+        seg = self.segment_length
+        fwd = partial(encodec_encode, self.cfg)
+
+        def mk(clip):
+            audio = np.asarray(clip, np.float32)
+            if audio.ndim == 1:
+                audio = audio[None, :]
+            n_full = audio.shape[1] // seg
+            if not n_full:
+                return (np.zeros((0, audio.shape[0], seg), np.float32),)
+            stacked = audio[:, : n_full * seg].reshape(audio.shape[0], n_full, seg)
+            return (np.ascontiguousarray(np.moveaxis(stacked, 1, 0)),)
+
+        def tail(clip):
+            audio = np.asarray(clip, np.float32)
+            if audio.ndim == 1:
+                audio = audio[None, :]
+            rem = audio.shape[1] % seg
+            if not rem:
+                return None
+            t = audio[None, :, audio.shape[1] - rem :]
+            out = np.asarray(_jitted(self.cfg)(self.params, jnp.asarray(t)))
+            return out.reshape(-1, self.num_features)
+
+        return DpChunkSpec(
+            forward=fwd,
+            make_chunks=mk,
+            params=self.params,
+            num_features=self.num_features,
+            tail=tail,
+        )

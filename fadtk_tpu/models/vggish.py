@@ -156,3 +156,23 @@ class VGGishModel(EmbeddingModel):
             batch_size=_EXAMPLE_BATCH,
         )
         return [o.astype(np.float16) for o in outs]
+
+    def dp_spec(self):
+        """Mesh-sharded chunk pipeline: 0.96 s log-mel examples are
+        independent batch elements."""
+        from ..parallel.dp import DpChunkSpec
+
+        self.ensure_loaded()
+
+        def mk(clip):
+            ex = np.asarray(
+                vggish_log_mel_examples(jnp.asarray(clip, jnp.float32))
+            )
+            return (ex,)
+
+        return DpChunkSpec(
+            forward=vggish_forward,
+            make_chunks=mk,
+            params=self.params,
+            num_features=self.num_features,
+        )

@@ -90,3 +90,21 @@ class WhisperModel(EmbeddingModel):
         per_file = [self._make_chunks(np.asarray(c)) for c in clips]
         outs = self._batch_chunked(per_file, self._forward_clips, batch_size=8)
         return [o.reshape(2, -1).astype(np.float16) for o in outs]
+
+    def dp_spec(self):
+        """Mesh-sharded chunk pipeline: one fixed 30 s window per clip; the
+        mel frontend fuses into the sharded forward."""
+        from ..parallel.dp import DpChunkSpec
+
+        self.ensure_loaded()
+        cfg = self.cfg
+
+        def fwd(params, clips):
+            return whisper_forward(cfg, params, whisper_log_mel(clips))
+
+        return DpChunkSpec(
+            forward=fwd,
+            make_chunks=lambda c: (self._make_chunks(np.asarray(c)),),
+            params=self.params,
+            num_features=self.num_features,
+        )

@@ -1,0 +1,168 @@
+"""Generic data-parallel chunk pipeline: any fixed-window ("chunked") model
+family sharded over the ``dp`` mesh axis.
+
+The speech family has a specialized (dp, tp) path (parallel/tp.py). Every
+other family — VGGish, CLAP (laion + msclap), CDPAM, DAC, EnCodec-48k,
+Whisper — reduces to the same shape: a host ``make_chunks`` producing
+fixed-shape windows, and a pure device ``forward`` mapping a window batch to
+embedding frames. That uniformity is what this module exploits:
+
+- chunks from many files stream into fixed-size device batches whose leading
+  axis is sharded over ``dp`` (jit + NamedSharding; the SPMD partitioner
+  inserts the cross-chip psum for the reductions — no hand-written
+  collectives);
+- each batch folds into (mu, M2, n) Gaussian partials ON DEVICE, so only a
+  (d, d) triple crosses back per batch, never the frames;
+- padded batch rows carry weight 0 and drop out of the statistics exactly.
+
+Frames round-trip through float16 before accumulating, matching the cached
+.npy path's storage dtype (reference fadtk/model_loader.py:47-48) — tested
+equal to the host pipeline within float32 accumulation noise.
+
+Ragged tails that cannot share the static window shape (EnCodec-48k's final
+partial segment must run at its exact length — zero-padding would change the
+reflect-conv values, reference fadtk/model_loader.py:139-152) are computed by
+the family's ``tail`` callback outside the sharded path and Chan-merged on
+host.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..metric.stats import merge_partial_stats
+
+
+@dataclass
+class DpChunkSpec:
+    """How a model family plugs into the generic dp pipeline.
+
+    forward: (params, *chunk_arrays) -> frames (B, F, d) or (B, d); pure,
+        jit-safe, static shapes.
+    make_chunks: clip -> tuple of np arrays whose leading dim is n_chunks
+        (e.g. (windows,) or (chunks, valid_lengths)).
+    params: the model's parameter pytree.
+    num_features: d.
+    tail: optional clip -> (m, d) float32 frames computed exactly outside the
+        static-window path (or None when every chunk is static).
+    """
+
+    forward: Callable
+    make_chunks: Callable[[np.ndarray], tuple]
+    params: object
+    num_features: int
+    tail: Optional[Callable[[np.ndarray], Optional[np.ndarray]]] = None
+
+
+def make_dp_chunk_stats_step(mesh, spec: DpChunkSpec):
+    """Jitted (params, weights, *chunks) -> (mu, M2, n) with chunks sharded
+    over dp and outputs replicated."""
+    data = NamedSharding(mesh, P("dp"))
+    rep = NamedSharding(mesh, P())
+
+    @partial(jax.jit, out_shardings=(rep, rep, rep))
+    def step(params, weights, *chunks):
+        frames = spec.forward(params, *chunks)
+        if frames.ndim == 2:
+            frames = frames[:, None, :]
+        b, f, d = frames.shape
+        flat = frames.reshape(b * f, d)
+        # float16 storage parity with the cached-embedding path.
+        flat = flat.astype(jnp.float16).astype(jnp.float32)
+        w = jnp.repeat(weights.astype(jnp.float32), f)
+        n = w.sum()
+        mu = (flat * w[:, None]).sum(0) / jnp.maximum(n, 1.0)
+        centered = flat - mu
+        m2 = (centered * w[:, None]).T @ centered
+        return mu, m2, n
+
+    params_rep = jax.device_put(spec.params, rep)
+
+    def run(weights: np.ndarray, *chunks: np.ndarray):
+        w = jax.device_put(jnp.asarray(weights), data)
+        arrs = [jax.device_put(jnp.asarray(c), data) for c in chunks]
+        mu, m2, n = step(params_rep, w, *arrs)
+        return np.asarray(mu, np.float64), np.asarray(m2, np.float64), float(n)
+
+    return run
+
+
+def dp_chunk_dataset_stats(
+    spec: DpChunkSpec,
+    clips_iter,
+    mesh,
+    batch: int = 16,
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """(mu, cov, n_frames) over an iterator of host clips.
+
+    Chunks from consecutive clips pack into full device batches (one
+    executable for the whole dataset); the final partial batch pads with
+    weight-0 rows. Batch partials merge with the exact Chan update on host.
+    """
+    dp = mesh.shape["dp"]
+    assert batch % dp == 0, f"batch {batch} must divide dp={dp}"
+    step = make_dp_chunk_stats_step(mesh, spec)
+
+    d = spec.num_features
+    mu = np.zeros(d)
+    s = np.zeros((d, d))
+    n = 0
+
+    pending: list[tuple] = []  # per-chunk tuples of arrays
+    n_pending = 0
+
+    def flush(force: bool):
+        nonlocal pending, n_pending, mu, s, n
+        while n_pending >= batch or (force and n_pending):
+            take, taken = [], 0
+            while taken < batch and pending:
+                group = pending[0]
+                room = batch - taken
+                if group[0].shape[0] <= room:
+                    take.append(group)
+                    taken += group[0].shape[0]
+                    pending.pop(0)
+                else:
+                    take.append(tuple(a[:room] for a in group))
+                    pending[0] = tuple(a[room:] for a in group)
+                    taken += room
+            n_pending -= taken
+            parts = [np.concatenate([g[i] for g in take]) for i in range(len(take[0]))]
+            weights = np.ones((taken,), np.float32)
+            if taken < batch:
+                pad = batch - taken
+                parts = [
+                    np.concatenate([p, np.zeros((pad, *p.shape[1:]), p.dtype)])
+                    for p in parts
+                ]
+                weights = np.concatenate([weights, np.zeros((pad,), np.float32)])
+            mu_b, m2_b, n_b = step(weights, *parts)
+            if n_b >= 1:
+                mu, s, n = merge_partial_stats(mu, s, n, mu_b, m2_b, int(n_b))
+
+    for clip in clips_iter:
+        clip = np.asarray(clip)
+        group = spec.make_chunks(clip)
+        if group[0].shape[0]:
+            pending.append(group)
+            n_pending += group[0].shape[0]
+        if spec.tail is not None:
+            frames = spec.tail(clip)
+            if frames is not None and frames.shape[0]:
+                f = frames.astype(np.float16).astype(np.float64)
+                mu_t = f.mean(0)
+                m2_t = (f - mu_t).T @ (f - mu_t)
+                mu, s, n = merge_partial_stats(mu, s, n, mu_t, m2_t, f.shape[0])
+        flush(force=False)
+    flush(force=True)
+
+    if n < 2:
+        return mu, np.zeros_like(s), n
+    return mu, s / (n - 1), n

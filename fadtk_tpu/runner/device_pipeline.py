@@ -4,9 +4,18 @@ covariance, without materializing per-file embedding .npy files.
 This is the TPU-native fast path for "score two directories" (the reference
 always round-trips embeddings through the filesystem, fad.py:188-209): clips
 are decoded/resampled on host threads, bucketed and batched, embedded on the
-mesh (dp over clips, optional tp over heads — parallel/tp.py), and folded into
-per-device Welford partials merged with one psum. Only (mu, M2, n) per batch
-returns to host, where batches merge with the exact Chan update.
+mesh, and folded into per-device Welford partials merged with one psum. Only
+(mu, M2, n) per batch returns to host, where batches merge with the exact
+Chan update.
+
+Two device paths cover the zoo:
+
+- speech family (w2v2/hubert/wavlm/MERT): specialized (dp, tp) bucketed step
+  with tensor-parallel attention/FFN (parallel/tp.py);
+- every chunked family (VGGish, CLAP laion+ms, CDPAM, DAC, EnCodec-48k,
+  Whisper): the generic dp-sharded chunk pipeline (parallel/dp.py) via each
+  model's ``dp_spec()``. encodec-emb (24k, whole-file exact length) has no
+  static window and stays on the host cached path.
 
 Statistics equal the cached-embedding path to float32 accumulation accuracy
 (the cached path stores float16 frames; this path applies the same float16
@@ -22,6 +31,7 @@ from typing import Sequence
 import numpy as np
 
 from ..metric.stats import merge_partial_stats
+from ..models.base import EmbeddingModel
 from ..models.speech.family import BUCKET_SECONDS, SpeechEmbeddingModel
 from ..parallel.tp import make_sharded_eval_step
 from ..utils import PathLike, dataset_files, next_multiple
@@ -29,7 +39,7 @@ from .fad import FrechetAudioDistance
 
 
 def dataset_stats_device(
-    model: SpeechEmbeddingModel,
+    model: EmbeddingModel,
     files: Sequence[Path] | PathLike,
     mesh=None,
     batch: int = 16,
@@ -39,6 +49,11 @@ def dataset_stats_device(
 
     ``mesh``: a (dp, tp) Mesh for multi-chip runs; None = single device
     (a 1x1 mesh over the default device).
+
+    The speech family takes the specialized (dp, tp) bucketed path below;
+    every other family goes through its ``dp_spec`` and the generic sharded
+    chunk pipeline (parallel/dp.py). Families with no static window shape
+    (encodec-emb 24k) raise — use the host cached path for those.
     """
     from ..parallel.mesh import make_mesh
 
@@ -47,6 +62,12 @@ def dataset_stats_device(
     model.ensure_loaded()
     if mesh is None:
         mesh = make_mesh(1, tp=1)
+
+    if not isinstance(model, SpeechEmbeddingModel):
+        return _dataset_stats_device_chunked(
+            model, files, mesh, batch=batch, workers=workers
+        )
+
     dp = mesh.shape["dp"]
     assert batch % dp == 0, f"batch {batch} must divide dp={dp}"
 
@@ -88,8 +109,36 @@ def dataset_stats_device(
     return mu, s / (n - 1), n
 
 
+def _dataset_stats_device_chunked(
+    model: EmbeddingModel,
+    files: Sequence[Path],
+    mesh,
+    batch: int = 16,
+    workers: int = 8,
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Generic dp-sharded chunk pipeline for the non-speech families."""
+    from ..parallel.dp import dp_chunk_dataset_stats
+
+    spec = model.dp_spec()
+    if spec is None:
+        raise NotImplementedError(
+            f"{model.name} has no static-window dp path (whole-file exact-"
+            "length inference); use the host cached-embedding path."
+        )
+
+    fad = FrechetAudioDistance(model, load_model=False)
+
+    def clips():
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            yield from ex.map(
+                lambda f: np.asarray(fad.load_audio(f)), files
+            )
+
+    return dp_chunk_dataset_stats(spec, clips(), mesh, batch=batch)
+
+
 def score_datasets_device(
-    model: SpeechEmbeddingModel,
+    model: EmbeddingModel,
     baseline: PathLike,
     eval_dir: PathLike,
     mesh=None,
