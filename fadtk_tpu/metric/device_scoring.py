@@ -2,15 +2,26 @@
 
 These are the throughput modes of the two expensive scoring loops
 (SURVEY.md 3.2/3.3). The host float64 paths in runner/fad.py remain the
-reference-parity defaults; these device versions trade the last digits (float32
-Newton-Schulz sqrtm, ~1e-3 relative) for keeping the whole sweep on the MXU:
+reference-parity defaults; these device versions trade the last digits
+(float32 accumulation, ~1e-3 relative) for keeping the whole sweep on device:
 
 - FAD-inf: the reference runs 25 x (subsample + np.cov + scipy sqrtm) on host
   (fadtk/fad.py:331-340). Here each step is a masked-Welford covariance (one
-  GEMM over the frame matrix) + Newton-Schulz trace inside one lax.scan on
+  GEMM over the frame matrix) + an eigvalsh trace inside one lax.scan on
   device; only 25 scalars come back.
 - per-song: per-file Gaussians and Frechet distances are vmapped in batches;
   the baseline sqrt is factored once (sqrtm(C1) reused across all songs).
+
+Rank-deficiency note: a song with fewer frames than embedding dims (the
+NORMAL case — Whisper yields 2 frames, CLAP ~1 frame/s, speech ~50 frames/s
+against d = 512-1280) has a singular covariance, and the plain Newton-Schulz
+iteration diverges to NaN on singular PSD input (z-blowup along the null
+space). Traces here therefore come from exact eigenvalues: per song via the
+(L, L) GRAM of the sqrt-projected frames — same nonzero spectrum as the
+(d, d) product, cheaper whenever L < d, and zero eigenvalues are clipped
+exactly; the FAD-inf sweep uses eigvalsh of the (d, d) product (its sample
+counts reach far past d). Newton-Schulz remains for the full-dataset scoring
+path where n >> d guarantees full rank.
 """
 
 from __future__ import annotations
@@ -21,16 +32,23 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .frechet import _ns_sqrt_sym
 from .stats import welford_finalize, welford_init, welford_update
 
 
-@partial(jax.jit, static_argnames=("steps", "iters"))
-def _fad_inf_scan(mu1, cov1, embeds, ns, key, steps: int, iters: int = 30):
+@jax.jit
+def _sqrt_psd_eigh(m: jax.Array) -> jax.Array:
+    """Exact PSD square root via eigendecomposition (safe for singular input,
+    unlike Newton-Schulz; computed once per baseline, so speed is moot)."""
+    ev, u = jnp.linalg.eigh((m + m.T) * 0.5)
+    return (u * jnp.sqrt(jnp.clip(ev, 0.0, None))) @ u.T
+
+
+@partial(jax.jit, static_argnames=("steps",))
+def _fad_inf_scan(mu1, cov1, embeds, ns, key, steps: int):
     """embeds: (N, D) f32; ns: (steps,) i32. Returns (steps,) FAD scores."""
     n_total, d = embeds.shape
     max_n = n_total
-    s1 = _ns_sqrt_sym((cov1 + cov1.T) * 0.5, iters)
+    s1 = _sqrt_psd_eigh(cov1)
     tr1 = jnp.trace(cov1)
 
     def step(carry, inputs):
@@ -42,7 +60,10 @@ def _fad_inf_scan(mu1, cov1, embeds, ns, key, steps: int, iters: int = 30):
         mu2, cov2 = welford_finalize(st)
 
         m = s1 @ cov2 @ s1
-        tr_sqrt = jnp.trace(_ns_sqrt_sym((m + m.T) * 0.5, iters))
+        # Exact trace via eigenvalues: subsample sizes below d (min_n=500 vs
+        # d up to 1280) make cov2 singular, where Newton-Schulz NaNs.
+        ev = jnp.linalg.eigvalsh((m + m.T) * 0.5)
+        tr_sqrt = jnp.sum(jnp.sqrt(jnp.clip(ev, 0.0, None)))
         diff = mu1 - mu2
         fad = jnp.dot(diff, diff) + tr1 + jnp.trace(cov2) - 2.0 * tr_sqrt
         return carry, fad
@@ -86,20 +107,84 @@ def fad_inf_device(
     return float(intercept), float(slope), float(r2), points
 
 
-@partial(jax.jit, static_argnames=("iters",))
-def _per_song_batch(mu1, s1, tr1, frames, masks, iters: int = 30):
-    """frames: (B, L, D) padded per-song frames; masks: (B, L)."""
+@partial(jax.jit, static_argnames=())
+def _per_song_batch(mu1, s1, tr1, frames, masks):
+    """frames: (B, L, D) padded per-song frames (any float dtype; accumulated
+    in float32); masks: (B, L).
+
+    Per-song covariances are singular whenever a song has fewer frames than
+    dims (Whisper: 2 frames), so Tr sqrt comes from the exact nonzero
+    spectrum via the (L, L) Gram of W = centered_frames @ s1 / sqrt(n-1):
+    spec+(W Wt) == spec+(s1 C2 s1). Masked rows are exact zero rows of W and
+    clip away. Also avoids materializing the (D, D) covariance at all."""
 
     def one(song_frames, mask):
-        d = song_frames.shape[-1]
-        st = welford_update(welford_init(d), song_frames, mask)
-        mu2, cov2 = welford_finalize(st)
-        m = s1 @ cov2 @ s1
-        tr_sqrt = jnp.trace(_ns_sqrt_sym((m + m.T) * 0.5, iters))
+        song_frames = song_frames.astype(jnp.float32)
+        n = mask.sum()
+        mu2 = (song_frames * mask[:, None]).sum(0) / jnp.maximum(n, 1.0)
+        xc = (song_frames - mu2) * mask[:, None]
+        w = (xc @ s1) / jnp.sqrt(jnp.maximum(n - 1.0, 1.0))
+        gram = w @ w.T
+        ev = jnp.linalg.eigvalsh((gram + gram.T) * 0.5)
+        tr_sqrt = jnp.sum(jnp.sqrt(jnp.clip(ev, 0.0, None)))
+        tr_cov2 = jnp.sum(xc * xc) / jnp.maximum(n - 1.0, 1.0)
         diff = mu1 - mu2
-        return jnp.dot(diff, diff) + tr1 + jnp.trace(cov2) - 2.0 * tr_sqrt
+        return jnp.dot(diff, diff) + tr1 + tr_cov2 - 2.0 * tr_sqrt
 
     return jax.vmap(one)(frames, masks)
+
+
+class PerSongScorer:
+    """Streaming per-song FAD against one baseline.
+
+    Factors sqrtm(C_base) once (exact eigh sqrt) and scores arbitrarily many
+    song batches against it — the runner streams file windows through
+    ``score_batch`` so RAM stays bounded by the window, never O(dataset)
+    (reference fadtk/fad.py:373-387 holds one song at a time; the round-1
+    device path regressed to loading everything).
+
+    Pad lengths bucket to multiples of ``len_bucket`` frames so the jitted
+    batch kernel compiles a handful of times, not once per window (masked
+    Welford makes padding exact). Frames ship as float16 — their on-disk
+    cache dtype (reference fadtk/model_loader.py:47-48) — halving
+    host->device transfer; the device casts to float32 before accumulating,
+    so scores are unchanged.
+    """
+
+    def __init__(
+        self,
+        mu_base: np.ndarray,
+        cov_base: np.ndarray,
+        batch_size: int = 16,
+        len_bucket: int = 128,
+    ):
+        self.mu1 = jnp.asarray(mu_base, jnp.float32)
+        cov1 = jnp.asarray(cov_base, jnp.float32)
+        self.s1 = _sqrt_psd_eigh(cov1)
+        self.tr1 = jnp.trace(cov1)
+        self.batch_size = batch_size
+        self.len_bucket = len_bucket
+
+    def score_batch(self, song_embeddings: list[np.ndarray]) -> np.ndarray:
+        d = song_embeddings[0].shape[-1]
+        scores = np.empty(len(song_embeddings), np.float64)
+        bs = self.batch_size
+        for start in range(0, len(song_embeddings), bs):
+            group = song_embeddings[start : start + bs]
+            longest = max(e.shape[0] for e in group)
+            pad_len = -(-longest // self.len_bucket) * self.len_bucket
+            frames = np.zeros((bs, pad_len, d), np.float16)
+            masks = np.zeros((bs, pad_len), np.float32)
+            for j, e in enumerate(group):
+                frames[j, : e.shape[0]] = np.asarray(e, np.float16)
+                masks[j, : e.shape[0]] = 1.0
+            out = _per_song_batch(
+                self.mu1, self.s1, self.tr1, jnp.asarray(frames), jnp.asarray(masks)
+            )
+            scores[start : start + len(group)] = np.asarray(
+                out[: len(group)], np.float64
+            )
+        return scores
 
 
 def per_song_fad_device(
@@ -110,21 +195,6 @@ def per_song_fad_device(
 ) -> np.ndarray:
     """FAD of each song's own Gaussian against the baseline, batched on device
     (the device mode of score_individual, reference fadtk/fad.py:373-387)."""
-    mu1 = jnp.asarray(mu_base, jnp.float32)
-    cov1 = jnp.asarray(cov_base, jnp.float32)
-    s1 = _ns_sqrt_sym((cov1 + cov1.T) * 0.5, 30)
-    tr1 = jnp.trace(cov1)
-
-    d = song_embeddings[0].shape[-1]
-    scores = np.empty(len(song_embeddings), np.float64)
-    for start in range(0, len(song_embeddings), batch_size):
-        group = song_embeddings[start : start + batch_size]
-        pad_len = max(e.shape[0] for e in group)
-        frames = np.zeros((len(group), pad_len, d), np.float32)
-        masks = np.zeros((len(group), pad_len), np.float32)
-        for j, e in enumerate(group):
-            frames[j, : e.shape[0]] = np.asarray(e, np.float32)
-            masks[j, : e.shape[0]] = 1.0
-        out = _per_song_batch(mu1, s1, tr1, jnp.asarray(frames), jnp.asarray(masks))
-        scores[start : start + len(group)] = np.asarray(out, np.float64)
-    return scores
+    return PerSongScorer(mu_base, cov_base, batch_size=batch_size).score_batch(
+        song_embeddings
+    )

@@ -320,19 +320,26 @@ class FrechetAudioDistance:
 
         files = dataset_files(eval_dir)
         if self.device_scoring:
-            from ..metric.device_scoring import per_song_fad_device
+            from ..metric.device_scoring import PerSongScorer
 
-            embeds, kept = [], []
-            for f in files:
-                try:
-                    e = self.read_embedding_file(f)
-                    assert e.shape[0] >= 2
-                    embeds.append(e)
-                    kept.append(f)
-                except Exception as e:
-                    log.error(f"per-song FAD failed for {f}: {e}")
-            scores = per_song_fad_device(mu, cov, embeds) if embeds else []
-            pairs = sorted(zip(kept, scores), key=lambda x: abs(x[1]))
+            # Stream file windows through a factored-once baseline: RAM stays
+            # bounded by the window, not the dataset (10k+ file datasets).
+            scorer = PerSongScorer(mu, cov)
+            window = 256
+            pairs: list[tuple[Path, float]] = []
+            for start in range(0, len(files), window):
+                embeds, kept = [], []
+                for f in files[start : start + window]:
+                    try:
+                        e = self.read_embedding_file(f)
+                        assert e.shape[0] >= 2
+                        embeds.append(e)
+                        kept.append(f)
+                    except Exception as e:
+                        log.error(f"per-song FAD failed for {f}: {e}")
+                if embeds:
+                    pairs.extend(zip(kept, scorer.score_batch(embeds)))
+            pairs.sort(key=lambda x: abs(x[1]))
             csv.parent.mkdir(parents=True, exist_ok=True)
             csv.write_text(
                 "\n".join(
