@@ -292,7 +292,30 @@ def main() -> None:
         default=None,
         help="local torch checkpoint path (laion_clap .pt / msclap .pth)",
     )
+    ap.add_argument(
+        "--dry-run",
+        type=str,
+        default=None,
+        metavar="SD_JSON",
+        help="validate converter <-> checkpoint key coverage against a "
+        "{key: shape} json (produced by --dump-schema) without weights; "
+        "exits non-zero if any relevant key would be dropped or is missing",
+    )
+    ap.add_argument(
+        "--dump-schema",
+        nargs=2,
+        default=None,
+        metavar=("CKPT", "OUT_JSON"),
+        help="dump a torch checkpoint's {key: shape} inventory to json "
+        "(shippable to offline machines for --dry-run)",
+    )
     args = ap.parse_args()
+
+    if args.dump_schema:
+        from .dryrun import dump_schema
+
+        dump_schema(args.dump_schema[0], args.dump_schema[1])
+        return
 
     names = list(args.models)
     if args.all_speech:
@@ -302,6 +325,14 @@ def main() -> None:
             "wavlm-base", "wavlm-base-plus", "wavlm-large",
             "MERT-v1-95M",
         ]
+
+    if args.dry_run:
+        from .dryrun import dry_run_model
+
+        for name in names:
+            dry_run_model(name, args.dry_run)
+        return
+
     for name in names:
         convert_model(name, checkpoint=args.checkpoint)
 
