@@ -112,6 +112,214 @@ def bench_tpu(dtype_name: str = "float32", batch: int = 16) -> float:
     return audio_sec / best
 
 
+# Published per-chip peak (dense matmul). f32 matmuls on TPU execute as bf16
+# MXU passes under JAX's default precision, so one peak serves both modes.
+_CHIP_PEAK_FLOPS = {
+    "TPU v5 lite": 197e12,  # v5e
+    "TPU v4": 275e12,
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,  # v6e / Trillium
+}
+
+
+def _family_cases():
+    """(name, build) for each benched family. build(dtype) returns
+    (forward, params, inputs, window_seconds, note)."""
+    import jax
+    import jax.numpy as jnp
+
+    def cast(tree, dtype):
+        return jax.tree.map(
+            lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, tree
+        )
+
+    rng = np.random.default_rng(0)
+
+    def speech(dtype):
+        from functools import partial
+
+        from fadtk_tpu.models.speech.config import SpeechEncoderConfig
+        from fadtk_tpu.models.speech.encoder import (
+            init_speech_encoder_params,
+            speech_encoder_forward,
+        )
+
+        cfg = SpeechEncoderConfig(do_normalize=False)
+        params = cast(init_speech_encoder_params(cfg, jax.random.PRNGKey(0)), dtype)
+        b, sec = 16, 10
+
+        def fwd(p, audio, nv):
+            states, mask = speech_encoder_forward(
+                cfg, p, audio.astype(dtype), nv, taps=(cfg.num_layers,)
+            )
+            return states[0].astype(jnp.float32).sum()
+
+        audio = jnp.asarray(rng.standard_normal((b, sec * SR)), jnp.float32) * 0.1
+        nv = jnp.full((b,), sec * SR, jnp.int32)
+        return fwd, params, (audio, nv), b * sec, ""
+
+    def vggish(dtype):
+        from fadtk_tpu.models.vggish import init_vggish_params, vggish_forward
+
+        params = cast(init_vggish_params(jax.random.PRNGKey(0)), dtype)
+        n = 64  # 0.96 s log-mel examples
+
+        def fwd(p, ex):
+            return vggish_forward(p, ex.astype(dtype)).astype(jnp.float32).sum()
+
+        ex = jnp.asarray(rng.standard_normal((n, 96, 64)), jnp.float32)
+        return fwd, params, (ex,), n * 0.96, ""
+
+    def encodec(dtype):
+        from functools import partial
+
+        from fadtk_tpu.models.encodec_impl import (
+            CONFIG_24K,
+            encodec_encode,
+            init_encodec_params,
+        )
+
+        params = cast(init_encodec_params(CONFIG_24K, jax.random.PRNGKey(0)), dtype)
+        b, sec = 8, 10
+
+        def fwd(p, x):
+            return encodec_encode(CONFIG_24K, p, x.astype(dtype)).astype(
+                jnp.float32
+            ).sum()
+
+        x = jnp.asarray(rng.standard_normal((b, 1, sec * 24000)), jnp.float32) * 0.1
+        return fwd, params, (x,), b * sec, "24k whole-file path at a fixed 10 s shape"
+
+    def clap(dtype):
+        from fadtk_tpu.models.clap_laion import _forward
+        from fadtk_tpu.models.htsat import HTSAT_TINY, init_htsat_params
+
+        params = cast(
+            init_htsat_params(HTSAT_TINY, jax.random.PRNGKey(0), projection_dim=512),
+            dtype,
+        )
+        b = 8  # 10 s windows
+
+        def fwd(p, chunks):
+            return _forward(HTSAT_TINY, p, chunks).astype(jnp.float32).sum()
+
+        chunks = jnp.asarray(rng.standard_normal((b, 480000)), jnp.float32) * 0.1
+        return fwd, params, (chunks,), b * 10, (
+            "window-sec; the pipeline's 1 s hop re-reads each second ~10x "
+            "(reference chunking semantics), so effective audio-sec = /10"
+        )
+
+    def whisper(dtype):
+        from fadtk_tpu.models.whisper_impl import config_for_size, whisper_forward
+
+        cfg = config_for_size("base")
+        from fadtk_tpu.models.whisper_impl import init_whisper_params
+
+        params = cast(init_whisper_params(cfg, jax.random.PRNGKey(0)), dtype)
+        b = 8
+
+        def fwd(p, feats):
+            return whisper_forward(cfg, p, feats).astype(jnp.float32).sum()
+
+        feats = jnp.asarray(rng.standard_normal((b, 80, 3000)), jnp.float32) * 0.5
+        return fwd, params, (feats,), b * 30, "every clip costs one fixed 30 s window"
+
+    def dac(dtype):
+        from fadtk_tpu.models.dac_impl import DAC_44K, dac_encode, init_dac_params
+
+        params = cast(init_dac_params(DAC_44K, jax.random.PRNGKey(0)), dtype)
+        b = 8  # 5 s windows
+
+        def fwd(p, x):
+            return dac_encode(DAC_44K, p, x.astype(dtype)).astype(jnp.float32).sum()
+
+        x = jnp.asarray(rng.standard_normal((b, 1, 220500)), jnp.float32) * 0.1
+        return fwd, params, (x,), b * 5, "window-sec; 50% hop doubles work vs audio-sec"
+
+    def cdpam(dtype):
+        from fadtk_tpu.models.cdpam_impl import (
+            DEFAULT_CONFIG,
+            cdpam_forward,
+            init_cdpam_params,
+        )
+
+        params = cast(init_cdpam_params(jax.random.PRNGKey(0), DEFAULT_CONFIG), dtype)
+        b = 64  # 1 s chunks
+
+        def fwd(p, chunks, lengths):
+            return cdpam_forward(DEFAULT_CONFIG, p, chunks.astype(dtype), lengths)[
+                1
+            ].astype(jnp.float32).sum()
+
+        chunks = jnp.asarray(rng.standard_normal((b, 22050)), jnp.float32) * 8000
+        lengths = jnp.full((b,), 22050, jnp.int32)
+        return fwd, params, (chunks, lengths), b * 1.0, ""
+
+    return {
+        "w2v2-base": speech,
+        "vggish": vggish,
+        "encodec-emb": encodec,
+        "clap-laion-audio": clap,
+        "whisper-base": whisper,
+        "dac-44kHz": dac,
+        "cdpam-acoustic": cdpam,
+    }
+
+
+def bench_families(dtypes=("float32", "bfloat16")) -> dict:
+    """Throughput (window-audio-sec/sec/chip) + MFU for every major family.
+
+    MFU = XLA's own cost_analysis flops x calls/sec / chip peak. Written to
+    .bench_cache/families.json and folded into the headline JSON line.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    peak = _CHIP_PEAK_FLOPS.get(jax.devices()[0].device_kind)
+    peak = float(os.environ.get("FADTK_BENCH_PEAK_FLOPS", peak or 197e12))
+
+    results: dict = {"device_kind": jax.devices()[0].device_kind, "peak_flops": peak}
+    for name, build in _family_cases().items():
+        results[name] = {}
+        for dtype_name in dtypes:
+            dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+            try:
+                fwd, params, inputs, window_sec, note = build(dtype)
+                jfwd = jax.jit(fwd)
+                compiled = jfwd.lower(params, *inputs).compile()
+                flops = float(compiled.cost_analysis().get("flops", 0.0))
+                jax.block_until_ready(jfwd(params, *inputs))  # warm
+
+                iters, windows = 4, 3
+                best = float("inf")
+                for _ in range(windows):
+                    t0 = time.perf_counter()
+                    out = None
+                    for _ in range(iters):
+                        out = jfwd(params, *inputs)
+                    jax.block_until_ready(out)
+                    best = min(best, time.perf_counter() - t0)
+                per_call = best / iters
+                entry = {
+                    "audio_sec_per_sec": round(window_sec / per_call, 1),
+                    "mfu_pct": round(100.0 * flops / per_call / peak, 2),
+                    "gflops_per_call": round(flops / 1e9, 2),
+                    "ms_per_call": round(per_call * 1000, 2),
+                }
+                if note:
+                    entry["note"] = note
+                results[name][dtype_name] = entry
+                print(f"# {name} {dtype_name}: {entry}", flush=True)
+            except Exception as e:  # keep the sweep alive per family
+                results[name][dtype_name] = {"error": str(e)[:200]}
+                print(f"# {name} {dtype_name} FAILED: {e}", flush=True)
+
+    out = CACHE.parent / "families.json"
+    out.parent.mkdir(exist_ok=True)
+    out.write_text(json.dumps(results, indent=2))
+    return results
+
+
 def bench_cpu_reference() -> float:
     if CACHE.exists():
         return json.loads(CACHE.read_text())["audio_sec_per_sec"]
@@ -216,16 +424,27 @@ def main() -> None:
     if "--extra" in sys.argv:
         extra = bench_sqrtm_fad_inf()
         print(json.dumps(extra))
-    print(
-        json.dumps(
-            {
-                "metric": "w2v2-base embedding throughput",
-                "value": round(tpu, 2),
-                "unit": "audio-sec/sec/chip",
-                "vs_baseline": round(tpu / cpu, 2),
-            }
-        )
-    )
+
+    # Multi-family sweep (throughput + MFU per family, f32/bf16). Default on;
+    # set FADTK_BENCH_FAMILIES=0 to skip (e.g. when the remote compile service
+    # is slow and only the headline number is needed). Failures inside the
+    # sweep never break the headline line.
+    families = None
+    if "--families" in sys.argv or os.environ.get("FADTK_BENCH_FAMILIES", "1") == "1":
+        try:
+            families = bench_families()
+        except Exception as e:
+            print(f"# family sweep failed: {e}", flush=True)
+
+    line = {
+        "metric": "w2v2-base embedding throughput",
+        "value": round(tpu, 2),
+        "unit": "audio-sec/sec/chip",
+        "vs_baseline": round(tpu / cpu, 2),
+    }
+    if families:
+        line["families"] = families
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":
