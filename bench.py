@@ -162,13 +162,16 @@ def _family_cases():
         from fadtk_tpu.models.vggish import init_vggish_params, vggish_forward
 
         params = cast(init_vggish_params(jax.random.PRNGKey(0)), dtype)
-        n = 64  # 0.96 s log-mel examples
+        n = 256  # 0.96 s log-mel examples (big batch: the convs are tiny)
 
         def fwd(p, ex):
             return vggish_forward(p, ex.astype(dtype)).astype(jnp.float32).sum()
 
         ex = jnp.asarray(rng.standard_normal((n, 96, 64)), jnp.float32)
-        return fwd, params, (ex,), n * 0.96, ""
+        return fwd, params, (ex,), n * 0.96, (
+            "0.96 s example-sec; ~20% MFU at example-batch 256 (was 7% at 64 - "
+            "the 3x3 convs over 96x64 images need a deep batch to fill the MXU)"
+        )
 
     def encodec(dtype):
         from functools import partial
@@ -180,7 +183,7 @@ def _family_cases():
         )
 
         params = cast(init_encodec_params(CONFIG_24K, jax.random.PRNGKey(0)), dtype)
-        b, sec = 8, 10
+        b, sec = 16, 10
 
         def fwd(p, x):
             return encodec_encode(CONFIG_24K, p, x.astype(dtype)).astype(
@@ -188,25 +191,42 @@ def _family_cases():
             ).sum()
 
         x = jnp.asarray(rng.standard_normal((b, 1, sec * 24000)), jnp.float32) * 0.1
-        return fwd, params, (x,), b * sec, "24k whole-file path at a fixed 10 s shape"
+        return fwd, params, (x,), b * sec, (
+            "24k whole-file path at a fixed 10 s shape. Low-MFU diagnosis: the "
+            "SEANet encoder is narrow (32-512 channels) streaming convs plus a "
+            "sequential 2-layer LSTM at 75 Hz - low arithmetic intensity and a "
+            "serial tail by architecture; throughput (~4000 window-s/s) not MXU "
+            "fill is the relevant number"
+        )
 
     def clap(dtype):
-        from fadtk_tpu.models.clap_laion import _forward
         from fadtk_tpu.models.htsat import HTSAT_TINY, init_htsat_params
+
+        from fadtk_tpu.dsp.mel import torchlibrosa_log_mel
+        from fadtk_tpu.models.clap_laion import _MEL
+        from fadtk_tpu.models.htsat import clap_audio_projection, htsat_forward
 
         params = cast(
             init_htsat_params(HTSAT_TINY, jax.random.PRNGKey(0), projection_dim=512),
             dtype,
         )
-        b = 8  # 10 s windows
+        b = 16  # 10 s windows
 
         def fwd(p, chunks):
-            return _forward(HTSAT_TINY, p, chunks).astype(jnp.float32).sum()
+            # Mel frontend stays f32; the Swin tower runs in the bench dtype.
+            mel = torchlibrosa_log_mel(chunks, **_MEL).astype(dtype)
+            pooled = htsat_forward(HTSAT_TINY, p, mel[:, None, :, :])
+            proj = clap_audio_projection(p["audio_projection"], pooled)
+            return proj.astype(jnp.float32).sum()
 
         chunks = jnp.asarray(rng.standard_normal((b, 480000)), jnp.float32) * 0.1
         return fwd, params, (chunks,), b * 10, (
             "window-sec; the pipeline's 1 s hop re-reads each second ~10x "
-            "(reference chunking semantics), so effective audio-sec = /10"
+            "(reference chunking semantics), so effective audio-sec = /10. "
+            "Low-MFU diagnosis: Swin window attention = thousands of 64-token "
+            "GEMMs with 32-wide heads plus flop-free window roll/partition "
+            "data movement; HTSAT-tiny is ~30M params, so the tower is "
+            "latency/memory-bound, not MXU-bound"
         )
 
     def whisper(dtype):
@@ -216,10 +236,12 @@ def _family_cases():
         from fadtk_tpu.models.whisper_impl import init_whisper_params
 
         params = cast(init_whisper_params(cfg, jax.random.PRNGKey(0)), dtype)
-        b = 8
+        b = 16
 
         def fwd(p, feats):
-            return whisper_forward(cfg, p, feats).astype(jnp.float32).sum()
+            return whisper_forward(cfg, p, feats.astype(dtype)).astype(
+                jnp.float32
+            ).sum()
 
         feats = jnp.asarray(rng.standard_normal((b, 80, 3000)), jnp.float32) * 0.5
         return fwd, params, (feats,), b * 30, "every clip costs one fixed 30 s window"
@@ -234,7 +256,13 @@ def _family_cases():
             return dac_encode(DAC_44K, p, x.astype(dtype)).astype(jnp.float32).sum()
 
         x = jnp.asarray(rng.standard_normal((b, 1, 220500)), jnp.float32) * 0.1
-        return fwd, params, (x,), b * 5, "window-sec; 50% hop doubles work vs audio-sec"
+        return fwd, params, (x,), b * 5, (
+            "window-sec; 50% hop doubles work vs audio-sec. Near-bar MFU "
+            "diagnosis: 61 GFLOP/window-sec of dilated k=7 convs at full 44.1k "
+            "rate in narrow (64-128ch) early layers plus elementwise snake "
+            "(sin^2) activations between every conv - intensity is bounded by "
+            "channel width, not batch; ~13.5% is close to the conv roofline"
+        )
 
     def cdpam(dtype):
         from fadtk_tpu.models.cdpam_impl import (
@@ -244,7 +272,7 @@ def _family_cases():
         )
 
         params = cast(init_cdpam_params(jax.random.PRNGKey(0), DEFAULT_CONFIG), dtype)
-        b = 64  # 1 s chunks
+        b = 256  # 1 s chunks (tiny channels: needs a deep batch to fill the MXU)
 
         def fwd(p, chunks, lengths):
             return cdpam_forward(DEFAULT_CONFIG, p, chunks.astype(dtype), lengths)[
@@ -253,7 +281,12 @@ def _family_cases():
 
         chunks = jnp.asarray(rng.standard_normal((b, 22050)), jnp.float32) * 8000
         lengths = jnp.full((b,), 22050, jnp.int32)
-        return fwd, params, (chunks, lengths), b * 1.0, ""
+        return fwd, params, (chunks, lengths), b * 1.0, (
+            "Low-MFU diagnosis: k=3 stride-2 convs halve the sequence every "
+            "layer, so most samples are touched by the narrow (64ch) early "
+            "layers - intensity ~ k*C bytes/flop, memory-bound by design; "
+            "the whole model is 21 GFLOP per 256 s of audio"
+        )
 
     return {
         "w2v2-base": speech,
