@@ -26,7 +26,7 @@ BATCH = 16
 CACHE = Path(__file__).parent / ".bench_cache" / "cpu_w2v2_base.json"
 
 
-def bench_tpu(dtype_name: str = "float32", batch: int = 16) -> float:
+def bench_tpu(dtype_name: str = "float32", batch: int = 128) -> float:
     """Throughput of the end-to-end scoring pipeline on device: batched
     wav2vec2-base embedding -> float16 storage round-trip -> streaming Welford
     covariance accumulation. Only the (D,) + (D, D) statistics leave the chip —
@@ -146,7 +146,7 @@ def _family_cases():
 
         cfg = SpeechEncoderConfig(do_normalize=False)
         params = cast(init_speech_encoder_params(cfg, jax.random.PRNGKey(0)), dtype)
-        b, sec = 16, 10
+        b, sec = 128, 10  # batch sweep on v5e: 16->3452, 64->3629, 128->4209 a-s/s, 256 OOMs
 
         def fwd(p, audio, nv):
             states, mask = speech_encoder_forward(

@@ -50,10 +50,30 @@ def main() -> None:
                     choices=["eigh", "reference", "newton_schulz"],
                     help="sqrtm evaluator: f64 eigh (default), the reference's "
                          "bit-faithful scipy dual computation, or device f32 NS")
+    ap.add_argument("--device-pipeline", action="store_true",
+                    help="plain-score fast path: embed and accumulate dataset "
+                         "Gaussians entirely on the device mesh (all local "
+                         "chips, dp-sharded) without writing per-file "
+                         "embedding .npy caches. Plain score only; stats "
+                         "match the cached path to float32 accumulation")
     args = ap.parse_args()
 
     model = models[args.model]
     baseline, eval_ = args.baseline, args.eval
+
+    if args.device_pipeline:
+        if args.inf or args.indiv:
+            raise SystemExit("--device-pipeline supports plain scoring only "
+                             "(--inf/--indiv read the embedding cache)")
+        from ..runner.device_pipeline import score_datasets_device
+
+        t0 = time.time()
+        try:
+            score = score_datasets_device(model, baseline, eval_)
+        except NotImplementedError as e:
+            raise SystemExit(f"{model.name}: {e}")
+        _report(args, model, baseline, eval_, score, None)
+        return
 
     # 1. Cache embeddings for both datasets.
     for d in [baseline, eval_]:
@@ -83,7 +103,12 @@ def main() -> None:
     else:
         score = fad.score(baseline, eval_)
 
-    # 3. Report.
+    _report(args, model, baseline, eval_, score, inf_r2)
+
+
+def _report(args, model, baseline, eval_, score, inf_r2) -> None:
+    """Same stdout summary + CSV append format as the reference
+    (fadtk/__main__.py:60-70)."""
     log.info("FAD computed.")
     if args.csv:
         csv = Path(args.csv)

@@ -143,3 +143,40 @@ def test_baselines_env_override(tmp_path, monkeypatch):
     got_mu, got_cov = fad.load_stats("fma_pop")
     np.testing.assert_array_equal(got_mu, mu)
     np.testing.assert_array_equal(got_cov, cov)
+
+
+def test_device_pipeline_cli_matches_cached_path(tmp_path, monkeypatch):
+    """`fadtk --device-pipeline` (device-resident Gaussians over the mesh)
+    scores within float32 accumulation noise of the cached-embedding path."""
+    import re
+
+    from fadtk_tpu.cli.main import main
+
+    base = _make_dataset(tmp_path, "b", 3, 1)
+    ev = _make_dataset(tmp_path, "e", 3, 2)
+    csv1 = tmp_path / "cached.csv"
+    csv2 = tmp_path / "device.csv"
+
+    monkeypatch.setattr(sys, "argv", ["fadtk", "vggish", str(base), str(ev), str(csv1)])
+    main()
+    monkeypatch.setattr(
+        sys, "argv",
+        ["fadtk", "vggish", str(base), str(ev), str(csv2), "--device-pipeline"],
+    )
+    main()
+
+    s1 = float(csv1.read_text().splitlines()[1].split(",")[3])
+    s2 = float(csv2.read_text().splitlines()[1].split(",")[3])
+    assert abs(s1 - s2) / max(abs(s1), 1e-9) < 5e-3, (s1, s2)
+
+
+def test_device_pipeline_cli_rejects_inf(tmp_path, monkeypatch):
+    from fadtk_tpu.cli.main import main
+
+    d = _make_dataset(tmp_path, "x", 2, 3)
+    monkeypatch.setattr(
+        sys, "argv",
+        ["fadtk", "vggish", str(d), str(d), "--device-pipeline", "--inf"],
+    )
+    with pytest.raises(SystemExit, match="plain scoring only"):
+        main()
