@@ -232,10 +232,10 @@ def _family_cases():
         return fwd, params, (chunks,), b * 10, (
             "window-sec; the pipeline's 1 s hop re-reads each second ~10x "
             "(reference chunking semantics), so effective audio-sec = /10. "
-            "Low-MFU diagnosis: Swin window attention = thousands of 64-token "
-            "GEMMs with 32-wide heads plus flop-free window roll/partition "
-            "data movement; HTSAT-tiny is ~30M params, so the tower is "
-            "latency/memory-bound, not MXU-bound"
+            "Was 7% MFU before the framed-GEMM mel frontend (the patch-"
+            "materialized STFT cost as much as the whole Swin tower); the "
+            "residual gap is Swin itself: 64-token window GEMMs with 32-wide "
+            "heads plus flop-free roll/partition data movement"
         )
 
     def whisper(dtype):

@@ -82,16 +82,51 @@ def _vggish_bases() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return dft_re, dft_im, mel.astype(np.float32)
 
 
+def framed_basis_matmul(
+    x: jax.Array, window: int, hop: int, basis: jax.Array
+) -> jax.Array:
+    """frames(x) @ basis without materializing the frame tensor.
+
+    x: (B, T); basis: (window, F); returns (B, n_frames, F) with the standard
+    VALID framing n_frames = 1 + (T - window) // hop.
+
+    The window decomposes into q = window // hop full hop-blocks plus an
+    r-sample tail, so the framed matmul is q (+1) dense GEMMs over shifted
+    contiguous views of one (B, n_blocks, hop) reshape — pure MXU work. This
+    replaces conv_general_dilated_patches + GEMM (which materializes a
+    window/hop-times-blown-up frame tensor and gathers it): measured 11x
+    faster at the CLAP geometry (1024-tap window, 480 hop, 10 s at 48 kHz) on
+    v5e, numerically within float32 noise of the patch path (both ~1.4e-7
+    relative of a float64 evaluation).
+    """
+    b, t = x.shape
+    window = int(window)
+    hop = int(hop)
+    nf = 1 + (t - window) // hop
+    q, r = divmod(window, hop)
+    n_blocks = nf + q - (0 if r else 1)
+    x = jnp.pad(x, ((0, 0), (0, n_blocks * hop - t)))
+    blocks = x.reshape(b, n_blocks, hop)
+    out = blocks[:, 0:nf] @ basis[:hop]
+    for j in range(1, q):
+        out = out + blocks[:, j : j + nf] @ basis[j * hop : (j + 1) * hop]
+    if r:
+        out = out + blocks[:, q : q + nf, :r] @ basis[q * hop :]
+    return out
+
+
 @partial(jax.jit, static_argnames=())
-def _log_mel_device(frames: jax.Array) -> jax.Array:
-    """(N, 400) windowed frames -> (N, 64) log-mel, all GEMMs.
+def _log_mel_device(x: jax.Array) -> jax.Array:
+    """(T,) waveform (already trimmed to whole frames) -> (N, 64) log-mel.
 
     NOTE: VGGish projects the *magnitude* spectrum (|rfft|), not the power
-    spectrum, so the fused power-spectrum Pallas kernel does not apply here.
+    spectrum; the framing fuses into the DFT GEMMs (framed_basis_matmul).
     """
     dft_re, dft_im, mel = _vggish_bases()
-    re = frames @ jnp.asarray(dft_re)
-    im = frames @ jnp.asarray(dft_im)
+    basis = jnp.asarray(np.concatenate([dft_re, dft_im], axis=1))
+    y = framed_basis_matmul(x[None], _WINDOW, _HOP, basis)[0]
+    f = dft_re.shape[1]
+    re, im = y[..., :f], y[..., f:]
     mag = jnp.sqrt(re * re + im * im)
     return jnp.log(mag @ jnp.asarray(mel) + _LOG_OFFSET)
 
@@ -165,25 +200,13 @@ def whisper_log_mel(audio: jax.Array) -> jax.Array:
     """
     dft_re, dft_im, mel = _whisper_bases()
     x = jnp.pad(audio.astype(jnp.float32), ((0, 0), (_W_FFT // 2, _W_FFT // 2)), mode="reflect")
-    patches = jax.lax.conv_general_dilated_patches(
-        x[..., None], filter_shape=(_W_FFT,), window_strides=(_W_HOP,),
-        padding="VALID", dimension_numbers=("NHC", "HIO", "NHC"),
-    )  # (B, n_frames, 400)
-    patches = patches[:, :-1]  # HF drops the last frame
-    from .pallas_mel import fused_log_mel, pallas_available
-
-    if pallas_available():
-        b, t, w = patches.shape
-        log_spec = fused_log_mel(
-            patches.reshape(b * t, w), jnp.asarray(dft_re), jnp.asarray(dft_im),
-            jnp.asarray(mel), log_mode="log10_clamp",
-        ).reshape(b, t, -1)
-    else:
-        re = patches @ jnp.asarray(dft_re)
-        im = patches @ jnp.asarray(dft_im)
-        power = re * re + im * im
-        mel_spec = power @ jnp.asarray(mel)  # (B, frames, 80)
-        log_spec = jnp.log10(jnp.maximum(mel_spec, 1e-10))
+    basis = jnp.asarray(np.concatenate([dft_re, dft_im], axis=1))
+    y = framed_basis_matmul(x, _W_FFT, _W_HOP, basis)[:, :-1]  # HF drops the last frame
+    f = dft_re.shape[1]
+    re, im = y[..., :f], y[..., f:]
+    power = re * re + im * im
+    mel_spec = power @ jnp.asarray(mel)  # (B, frames, 80)
+    log_spec = jnp.log10(jnp.maximum(mel_spec, 1e-10))
     max_val = jnp.max(log_spec, axis=(1, 2), keepdims=True)
     log_spec = jnp.maximum(log_spec, max_val - 8.0)
     log_spec = (log_spec + 4.0) / 4.0
@@ -219,20 +242,10 @@ def torchlibrosa_log_mel(
     (reference deps laion_clap / msclap)."""
     dft_re, dft_im, mel = _torchlibrosa_bases(n_fft, sr, n_mels, float(fmin), float(fmax))
     x = jnp.pad(audio.astype(jnp.float32), ((0, 0), (n_fft // 2, n_fft // 2)), mode="reflect")
-    patches = jax.lax.conv_general_dilated_patches(
-        x[..., None], filter_shape=(n_fft,), window_strides=(hop,),
-        padding="VALID", dimension_numbers=("NHC", "HIO", "NHC"),
-    )
-    from .pallas_mel import fused_log_mel, pallas_available
-
-    if pallas_available():
-        b, t, w = patches.shape
-        return fused_log_mel(
-            patches.reshape(b * t, w), jnp.asarray(dft_re), jnp.asarray(dft_im),
-            jnp.asarray(mel), log_mode="db_clamp",
-        ).reshape(b, t, -1)
-    re = patches @ jnp.asarray(dft_re)
-    im = patches @ jnp.asarray(dft_im)
+    basis = jnp.asarray(np.concatenate([dft_re, dft_im], axis=1))
+    y = framed_basis_matmul(x, n_fft, hop, basis)
+    f = dft_re.shape[1]
+    re, im = y[..., :f], y[..., f:]
     power = re * re + im * im
     mel_spec = power @ jnp.asarray(mel)
     return 10.0 * jnp.log10(jnp.maximum(mel_spec, 1e-10))
@@ -259,13 +272,5 @@ def vggish_log_mel_examples(audio: jax.Array) -> jax.Array:
 
     used = (n_examples * _EXAMPLE_FRAMES - 1) * _HOP + _WINDOW
     x = audio[:used].astype(jnp.float32)
-    # Strided framing as a patch op: (1, used, 1) -> (1, n_frames, W).
-    patches = jax.lax.conv_general_dilated_patches(
-        x[None, :, None],
-        filter_shape=(_WINDOW,),
-        window_strides=(_HOP,),
-        padding="VALID",
-        dimension_numbers=("NHC", "HIO", "NHC"),
-    )[0]
-    log_mel = _log_mel_device(patches)
+    log_mel = _log_mel_device(x)
     return log_mel.reshape(n_examples, _EXAMPLE_FRAMES, _MEL_BINS)

@@ -13,6 +13,12 @@ arithmetic intensity is low enough that the saved (N, F) traffic is the win.
 
 All operands are padded host-side to lane multiples (W, F, M -> multiples of
 128); padding columns of the bases are zero so results are exact.
+
+STATUS: retained as a reference kernel but NOT on the production path. The
+frontends now avoid materializing the (N, W) frame tensor entirely via the
+hop-decomposed framed GEMM (dsp/mel.py framed_basis_matmul), which measured
+11x faster than patches+fused-kernel at the CLAP geometry on v5e — skipping
+the window/hop-fold duplication beats fusing it.
 """
 
 from __future__ import annotations
