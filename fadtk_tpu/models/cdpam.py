@@ -171,4 +171,5 @@ class CdpamModel(EmbeddingModel):
             make_chunks=mk,
             params=self.params,
             num_features=self.num_features,
+            preferred_batch=256,  # 1 s chunks, narrow channels; bench-tuned
         )

@@ -114,4 +114,5 @@ class DACModel(EmbeddingModel):
             make_chunks=lambda c: (self._make_windows(np.asarray(c)),),
             params=self.params,
             num_features=self.num_features,
+            preferred_batch=8,  # 5 s windows are heavy (2.4 TF per 8)
         )

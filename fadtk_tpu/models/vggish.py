@@ -175,4 +175,5 @@ class VGGishModel(EmbeddingModel):
             make_chunks=mk,
             params=self.params,
             num_features=self.num_features,
+            preferred_batch=256,  # 0.96 s examples are tiny; bench: 52% MFU
         )

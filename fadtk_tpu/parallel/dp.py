@@ -59,6 +59,9 @@ class DpChunkSpec:
     params: object
     num_features: int
     tail: Optional[Callable[[np.ndarray], Optional[np.ndarray]]] = None
+    # Per-device chunk batch that fills the MXU for this family (bench-tuned:
+    # small windows need deep batches — vggish 7%->52% MFU going 64->256).
+    preferred_batch: int = 16
 
 
 def make_dp_chunk_stats_step(mesh, spec: DpChunkSpec):
@@ -98,15 +101,19 @@ def dp_chunk_dataset_stats(
     spec: DpChunkSpec,
     clips_iter,
     mesh,
-    batch: int = 16,
+    batch: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray, int]:
     """(mu, cov, n_frames) over an iterator of host clips.
 
     Chunks from consecutive clips pack into full device batches (one
     executable for the whole dataset); the final partial batch pads with
     weight-0 rows. Batch partials merge with the exact Chan update on host.
+    ``batch=None`` uses the family's MXU-filling default, scaled up to the
+    mesh (``preferred_batch`` per device).
     """
     dp = mesh.shape["dp"]
+    if batch is None:
+        batch = spec.preferred_batch * dp
     assert batch % dp == 0, f"batch {batch} must divide dp={dp}"
     step = make_dp_chunk_stats_step(mesh, spec)
 

@@ -42,7 +42,7 @@ def dataset_stats_device(
     model: EmbeddingModel,
     files: Sequence[Path] | PathLike,
     mesh=None,
-    batch: int = 16,
+    batch: int | None = None,
     workers: int = 8,
 ) -> tuple[np.ndarray, np.ndarray, int]:
     """(mu, cov, n_frames) of a dataset, computed on device.
@@ -69,6 +69,8 @@ def dataset_stats_device(
         )
 
     dp = mesh.shape["dp"]
+    if batch is None:
+        batch = 16 * max(1, dp)
     assert batch % dp == 0, f"batch {batch} must divide dp={dp}"
 
     step = make_sharded_eval_step(model.cfg, model.params, mesh, model.layer)
@@ -113,7 +115,7 @@ def _dataset_stats_device_chunked(
     model: EmbeddingModel,
     files: Sequence[Path],
     mesh,
-    batch: int = 16,
+    batch: int | None = None,
     workers: int = 8,
 ) -> tuple[np.ndarray, np.ndarray, int]:
     """Generic dp-sharded chunk pipeline for the non-speech families."""
@@ -142,7 +144,7 @@ def score_datasets_device(
     baseline: PathLike,
     eval_dir: PathLike,
     mesh=None,
-    batch: int = 16,
+    batch: int | None = None,
 ) -> float:
     """FAD between two datasets with both Gaussians computed on device; the
     baseline may also be a stats source (npz/name) resolved the usual way."""
