@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .frechet import _ns_sqrt_sym
 from .stats import welford_finalize, welford_init, welford_update
 
 
@@ -60,10 +61,17 @@ def _fad_inf_scan(mu1, cov1, embeds, ns, key, steps: int):
         mu2, cov2 = welford_finalize(st)
 
         m = s1 @ cov2 @ s1
-        # Exact trace via eigenvalues: subsample sizes below d (min_n=500 vs
-        # d up to 1280) make cov2 singular, where Newton-Schulz NaNs.
-        ev = jnp.linalg.eigvalsh((m + m.T) * 0.5)
-        tr_sqrt = jnp.sum(jnp.sqrt(jnp.clip(ev, 0.0, None)))
+        msym = (m + m.T) * 0.5
+        # Subsample sizes below d (min_n=500 vs d up to 1280) make cov2
+        # singular, where Newton-Schulz NaNs — those points take the exact
+        # eigvalsh trace. Well-sampled points (n >= 4d: full-rank with margin)
+        # keep the ~2x faster pure-matmul NS trace.
+        tr_sqrt = jax.lax.cond(
+            n_i >= 4 * d,
+            lambda mm: jnp.trace(_ns_sqrt_sym(mm, 30)),
+            lambda mm: jnp.sum(jnp.sqrt(jnp.clip(jnp.linalg.eigvalsh(mm), 0.0, None))),
+            msym,
+        )
         diff = mu1 - mu2
         fad = jnp.dot(diff, diff) + tr1 + jnp.trace(cov2) - 2.0 * tr_sqrt
         return carry, fad
