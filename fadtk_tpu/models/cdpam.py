@@ -34,7 +34,8 @@ from ..utils import PathLike, log
 from .base import EmbeddingModel
 from .cdpam_impl import DEFAULT_CONFIG, CdpamConfig, cdpam_forward, l2_normalize
 
-_CHUNK_BATCH = 16  # static chunk-batch bucket (16 x 1 s at 22.05 kHz)
+_CHUNK_BATCH = 128  # static chunk-batch bucket (1 s chunks are tiny; the
+# narrow-channel conv stack needs a deep batch to fill the MXU — bench-tuned)
 
 
 @lru_cache(maxsize=4)

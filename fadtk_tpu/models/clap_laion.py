@@ -126,7 +126,7 @@ class CLAPLaionModel(EmbeddingModel):
         per_file = [self._make_chunks(np.asarray(c)) for c in clips]
         fwd = _jitted(self.cfg)
         outs = self._batch_chunked(
-            per_file, lambda g: fwd(self.params, jnp.asarray(g)), batch_size=16
+            per_file, lambda g: fwd(self.params, jnp.asarray(g)), batch_size=32
         )
         return [o.astype(np.float16) for o in outs]
 

@@ -88,7 +88,7 @@ class WhisperModel(EmbeddingModel):
         """Cross-file batching: each clip is one static 30 s window."""
         self.ensure_loaded()
         per_file = [self._make_chunks(np.asarray(c)) for c in clips]
-        outs = self._batch_chunked(per_file, self._forward_clips, batch_size=8)
+        outs = self._batch_chunked(per_file, self._forward_clips, batch_size=16)
         return [o.reshape(2, -1).astype(np.float16) for o in outs]
 
     def dp_spec(self):
