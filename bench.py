@@ -320,10 +320,18 @@ def bench_families(dtypes=("float32", "bfloat16")) -> dict:
     peak = _CHIP_PEAK_FLOPS.get(jax.devices()[0].device_kind)
     peak = float(os.environ.get("FADTK_BENCH_PEAK_FLOPS", peak or 197e12))
 
+    # Remote XLA compiles can take minutes each when the persistent cache is
+    # cold; bound the sweep so the driver's round-end bench always finishes.
+    budget_s = float(os.environ.get("FADTK_BENCH_BUDGET_S", "1500"))
+    sweep_start = time.perf_counter()
+
     results: dict = {"device_kind": jax.devices()[0].device_kind, "peak_flops": peak}
     for name, build in _family_cases().items():
         results[name] = {}
         for dtype_name in dtypes:
+            if time.perf_counter() - sweep_start > budget_s:
+                results[name][dtype_name] = {"skipped": "sweep time budget"}
+                continue
             dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
             try:
                 fwd, params, inputs, window_sec, note = build(dtype)
