@@ -192,7 +192,7 @@ def _family_cases():
         )
 
         params = cast(init_encodec_params(CONFIG_24K, jax.random.PRNGKey(0)), dtype)
-        b, sec = 16, 10
+        b, sec = 64, 10  # throughput saturates ~64 (8.4k vs 6k window-s/s at 16)
 
         def fwd(p, x):
             return encodec_encode(CONFIG_24K, p, x.astype(dtype)).astype(

@@ -143,4 +143,5 @@ class CLAPLaionModel(EmbeddingModel):
             make_chunks=lambda c: (self._make_chunks(c),),
             params=self.params,
             num_features=self.num_features,
+            preferred_batch=32,
         )

@@ -160,4 +160,5 @@ class MSCLAPModel(EmbeddingModel):
             make_chunks=lambda c: (self._make_chunks(np.asarray(c)),),
             params=self.params,
             num_features=self.num_features,
+            preferred_batch=32,
         )

@@ -126,11 +126,18 @@ class EncodecEmbModel(EmbeddingModel):
 
         fwd = _jitted(self.cfg)
         results: list[np.ndarray | None] = [None] * len(clips)
+        # Bounded group batches: throughput saturates around 64 ten-second
+        # clips on v5e (8.4k window-s/s vs 6k at 16) and full-rate activations
+        # are ~30 MB/clip — an unbounded stack would OOM on large uniform
+        # datasets.
+        group_batch = 64
         for idxs in groups.values():
-            stacked = np.stack([prepared[i] for i in idxs])
-            out = np.asarray(fwd(self.params, stacked)).astype(np.float16)
-            for j, i in enumerate(idxs):
-                results[i] = out[j]
+            for start in range(0, len(idxs), group_batch):
+                part = idxs[start : start + group_batch]
+                stacked = np.stack([prepared[i] for i in part])
+                out = np.asarray(fwd(self.params, stacked)).astype(np.float16)
+                for j, i in enumerate(part):
+                    results[i] = out[j]
         return results  # type: ignore[return-value]
 
     def _embed(self, audio: np.ndarray) -> np.ndarray:
@@ -205,4 +212,5 @@ class EncodecEmbModel(EmbeddingModel):
             params=self.params,
             num_features=self.num_features,
             tail=tail,
+            preferred_batch=64,  # 1 s segments; throughput saturates ~64
         )
