@@ -123,6 +123,12 @@ class EmbeddingModel(ABC):
         """
         return None
 
+    def dp_whole_spec(self):
+        """Plug into the whole-clip dp pipeline (parallel/dp.py) for families
+        whose inference has no static window but IS per-clip independent at
+        exact length (encodec-emb 24k). Default: not available."""
+        return None
+
     @staticmethod
     def _batch_chunked(
         per_file_chunks: list[np.ndarray],

@@ -214,3 +214,36 @@ class EncodecEmbModel(EmbeddingModel):
             tail=tail,
             preferred_batch=64,  # 1 s segments; throughput saturates ~64
         )
+
+    def dp_whole_spec(self):
+        """Mesh-sharded whole-clip pipeline — 24k variant.
+
+        The 24k model embeds each file in one pass at its EXACT length
+        (reference fadtk/model_loader.py:135-137; time padding would change the
+        reflect-pad conv values), so the sharding unit is the clip: clips of
+        identical length stack and shard over ``dp``, one executable per
+        distinct length (uniform-length datasets compile once). The SEANet
+        encoder + LSTM are per-sample independent, so weight-0 zero rows pad
+        ragged dispatches without perturbing real rows.
+        """
+        if self.segment_length is not None:
+            return None  # 48k has the chunked dp path above
+        from ..parallel.dp import DpWholeClipSpec
+
+        self.ensure_loaded()
+
+        def prepare(clip):
+            c = np.asarray(clip, np.float32)
+            if c.ndim == 1:
+                c = c[None, :]
+            return c
+
+        return DpWholeClipSpec(
+            forward=partial(encodec_encode, self.cfg),
+            prepare=prepare,
+            params=self.params,
+            num_features=self.num_features,
+            # Bounded like embed_batch: saturates ~64 ten-second clips and
+            # full-rate activations are ~30 MB/clip.
+            preferred_batch=8,
+        )

@@ -97,6 +97,85 @@ def make_dp_chunk_stats_step(mesh, spec: DpChunkSpec):
     return run
 
 
+@dataclass
+class DpWholeClipSpec:
+    """dp pipeline plug for families with no static window: whole clips run at
+    their EXACT length (padding the time axis would change e.g. reflect-pad
+    conv values — encodec-emb 24k, reference fadtk/model_loader.py:135-137).
+
+    Sharding unit = the clip. Clips of identical prepared shape stack into one
+    batch whose leading axis shards over ``dp``; each distinct length compiles
+    its own executable (uniform-length datasets — the common case — compile
+    once). Row padding (all-zero clips with weight 0) makes every dispatch
+    divisible by dp without perturbing real rows: the forward is per-sample
+    independent, so dead rows drop out of the statistics exactly.
+
+    forward: (params, clips (B, *shape)) -> frames (B, F, d) or (B, d).
+    prepare: host clip -> the exact-shape array the forward consumes.
+    """
+
+    forward: Callable
+    prepare: Callable[[np.ndarray], np.ndarray]
+    params: object
+    num_features: int
+    preferred_batch: int = 16
+
+
+def dp_whole_clip_dataset_stats(
+    spec: DpWholeClipSpec,
+    clips_iter,
+    mesh,
+    batch: int | None = None,
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """(mu, cov, n_frames) over host clips for a whole-clip (no-static-window)
+    family, sharded over the ``dp`` mesh axis.
+
+    Clips group by exact prepared shape; full groups dispatch as they fill,
+    stragglers flush at the end padded (rows only) to a multiple of dp.
+    """
+    from collections import defaultdict
+
+    dp = mesh.shape["dp"]
+    if batch is None:
+        batch = spec.preferred_batch * dp
+    batch = max(dp, (batch // dp) * dp)
+    step = make_dp_chunk_stats_step(mesh, spec)
+
+    d = spec.num_features
+    mu = np.zeros(d)
+    s = np.zeros((d, d))
+    n = 0
+
+    groups: dict[tuple, list[np.ndarray]] = defaultdict(list)
+
+    def dispatch(rows: list[np.ndarray]):
+        nonlocal mu, s, n
+        taken = len(rows)
+        pad = (-taken) % dp
+        weights = np.ones((taken,), np.float32)
+        if pad:
+            rows = rows + [np.zeros_like(rows[0])] * pad
+            weights = np.concatenate([weights, np.zeros((pad,), np.float32)])
+        mu_b, m2_b, n_b = step(weights, np.stack(rows))
+        if n_b >= 1:
+            mu, s, n = merge_partial_stats(mu, s, n, mu_b, m2_b, int(n_b))
+
+    for clip in clips_iter:
+        c = spec.prepare(np.asarray(clip))
+        bucket = groups[c.shape]
+        bucket.append(c)
+        if len(bucket) >= batch:
+            dispatch(bucket[:batch])
+            del bucket[:batch]
+    for bucket in groups.values():
+        if bucket:
+            dispatch(bucket)
+
+    if n < 2:
+        return mu, np.zeros_like(s), n
+    return mu, s / (n - 1), n
+
+
 def dp_chunk_dataset_stats(
     spec: DpChunkSpec,
     clips_iter,

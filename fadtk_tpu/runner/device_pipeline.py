@@ -14,8 +14,9 @@ Two device paths cover the zoo:
   with tensor-parallel attention/FFN (parallel/tp.py);
 - every chunked family (VGGish, CLAP laion+ms, CDPAM, DAC, EnCodec-48k,
   Whisper): the generic dp-sharded chunk pipeline (parallel/dp.py) via each
-  model's ``dp_spec()``. encodec-emb (24k, whole-file exact length) has no
-  static window and stays on the host cached path.
+  model's ``dp_spec()``; encodec-emb (24k) has no static window — whole clips
+  shard over dp at exact length via ``dp_whole_spec()`` (equal-length groups,
+  one executable per distinct length).
 
 Statistics equal the cached-embedding path to float32 accumulation accuracy
 (the cached path stores float16 frames; this path applies the same float16
@@ -51,9 +52,9 @@ def dataset_stats_device(
     (a 1x1 mesh over the default device).
 
     The speech family takes the specialized (dp, tp) bucketed path below;
-    every other family goes through its ``dp_spec`` and the generic sharded
-    chunk pipeline (parallel/dp.py). Families with no static window shape
-    (encodec-emb 24k) raise — use the host cached path for those.
+    every other family goes through its ``dp_spec`` (fixed-window chunks) or
+    ``dp_whole_spec`` (whole clips at exact length, encodec-emb 24k) and the
+    generic sharded pipelines in parallel/dp.py.
     """
     from ..parallel.mesh import make_mesh
 
@@ -119,13 +120,14 @@ def _dataset_stats_device_chunked(
     workers: int = 8,
 ) -> tuple[np.ndarray, np.ndarray, int]:
     """Generic dp-sharded chunk pipeline for the non-speech families."""
-    from ..parallel.dp import dp_chunk_dataset_stats
+    from ..parallel.dp import dp_chunk_dataset_stats, dp_whole_clip_dataset_stats
 
     spec = model.dp_spec()
-    if spec is None:
+    whole = model.dp_whole_spec() if spec is None else None
+    if spec is None and whole is None:
         raise NotImplementedError(
-            f"{model.name} has no static-window dp path (whole-file exact-"
-            "length inference); use the host cached-embedding path."
+            f"{model.name} has neither a static-window nor a whole-clip dp "
+            "path; use the host cached-embedding path."
         )
 
     fad = FrechetAudioDistance(model, load_model=False)
@@ -136,7 +138,9 @@ def _dataset_stats_device_chunked(
                 lambda f: np.asarray(fad.load_audio(f)), files
             )
 
-    return dp_chunk_dataset_stats(spec, clips(), mesh, batch=batch)
+    if spec is not None:
+        return dp_chunk_dataset_stats(spec, clips(), mesh, batch=batch)
+    return dp_whole_clip_dataset_stats(whole, clips(), mesh, batch=batch)
 
 
 def score_datasets_device(

@@ -88,7 +88,27 @@ def test_batch_size_invariance(dataset):
     np.testing.assert_allclose(cov_a, cov_b, rtol=1e-3, atol=1e-5)
 
 
-def test_24k_encodec_has_no_dp_path(dataset):
+def test_24k_encodec_whole_clip_dp_matches_cached_path(dataset):
+    """encodec-emb (24k) shards WHOLE clips at exact length over dp — the
+    reflect-pad conv semantics forbid time padding, so the clip is the
+    sharding unit (equal-length groups, weight-0 row padding)."""
     model = get_model("encodec-emb")
-    with pytest.raises(NotImplementedError, match="no static-window dp path"):
-        dataset_stats_device(model, dataset, mesh=make_mesh(2), batch=2)
+    mu_ref, cov_ref = _host_stats(model, dataset)
+
+    mu, cov, n = dataset_stats_device(model, dataset, mesh=make_mesh(8), batch=8)
+
+    assert n >= 2
+    scale = max(np.abs(mu_ref).max(), 1e-6)
+    np.testing.assert_allclose(mu, mu_ref, atol=2e-3 * scale, rtol=2e-3)
+    cscale = max(np.abs(cov_ref).max(), 1e-6)
+    floor = 4e-7 * max(scale, 1.0) ** 2
+    np.testing.assert_allclose(cov, cov_ref, atol=4e-3 * cscale + floor, rtol=4e-3)
+
+
+def test_24k_encodec_dp_sharded_equals_single_device(dataset):
+    model = get_model("encodec-emb")
+    mu1, cov1, n1 = dataset_stats_device(model, dataset, mesh=make_mesh(1), batch=2)
+    mu8, cov8, n8 = dataset_stats_device(model, dataset, mesh=make_mesh(8), batch=8)
+    assert n1 == n8
+    np.testing.assert_allclose(mu1, mu8, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(cov1, cov8, rtol=1e-4, atol=1e-4)
