@@ -151,16 +151,37 @@ def _attention_core(q, k, v, bias):
     return out.astype(v.dtype).transpose(0, 2, 1, 3).reshape(b, t, h * d)
 
 
-def standard_attention(cfg: SpeechEncoderConfig, p, x, key_bias):
+def use_flash_attention(dtype, frame_valid) -> bool:
+    """The fused Pallas kernel serves the bf16 throughput mode only: in f32
+    XLA's fused softmax is already HBM-bound-optimal (measured 8.3 ms vs
+    13.1 ms for the kernel at B=128/H=12/T=499), and the kernel's extra
+    bf16 MXU passes would cost the f32 path its <=1e-4 HF parity. In bf16 the
+    f32<->bf16 casts around the materialized (B, H, T, T) weights make XLA
+    1.5x SLOWER than f32 — the kernel wins there (8.7 ms vs 12.9 ms)."""
+    from ...ops.flash_attention import flash_attention_enabled
+
+    return (
+        frame_valid is not None
+        and dtype == jnp.bfloat16
+        and flash_attention_enabled()
+    )
+
+
+def standard_attention(cfg: SpeechEncoderConfig, p, x, key_bias, frame_valid=None):
     q = x @ p["q_proj"]["kernel"] + p["q_proj"]["bias"]
     k = x @ p["k_proj"]["kernel"] + p["k_proj"]["bias"]
     v = x @ p["v_proj"]["kernel"] + p["v_proj"]["bias"]
-    out = _attention_core(
-        _split_heads(q, cfg.num_heads),
-        _split_heads(k, cfg.num_heads),
-        _split_heads(v, cfg.num_heads),
-        key_bias,
+    qh, kh, vh = (
+        _split_heads(t, cfg.num_heads) for t in (q, k, v)
     )
+    if use_flash_attention(x.dtype, frame_valid):
+        from ...ops.flash_attention import flash_attention
+
+        o = flash_attention(qh, kh, vh, frame_valid)
+        b, h, t, d = o.shape
+        out = o.transpose(0, 2, 1, 3).reshape(b, t, h * d)
+    else:
+        out = _attention_core(qh, kh, vh, key_bias)
     return out @ p["out_proj"]["kernel"] + p["out_proj"]["bias"]
 
 
@@ -228,11 +249,13 @@ def _feed_forward(p, x):
     return h @ p["output_dense"]["kernel"] + p["output_dense"]["bias"]
 
 
-def encoder_layer(cfg: SpeechEncoderConfig, p, x, key_bias, position_bias):
+def encoder_layer(cfg: SpeechEncoderConfig, p, x, key_bias, position_bias, frame_valid=None):
     if cfg.attention_type == "wavlm":
+        # WavLM's gated position bias is a dense (B, H, T, T) additive term —
+        # materializing it defeats flash attention, so WavLM keeps XLA.
         attn = lambda y: wavlm_attention(cfg, p["attention"], y, key_bias, position_bias)
     else:
-        attn = lambda y: standard_attention(cfg, p["attention"], y, key_bias)
+        attn = lambda y: standard_attention(cfg, p["attention"], y, key_bias, frame_valid)
 
     if cfg.do_stable_layer_norm:
         # Pre-norm (HF Wav2Vec2EncoderLayerStableLayerNorm).
@@ -297,10 +320,10 @@ def speech_encoder_forward(
         audio = (audio - mean) / jnp.sqrt(var + 1e-7) * smask
     audio = audio.astype(compute_dtype)
 
-    feats, frame_mask, _ = jax.vmap(
+    feats, frame_mask, frame_valid = jax.vmap(
         lambda a, nv: _feature_extractor_single(cfg, params["feature_extractor"], a, nv)
     )(audio, num_valid)
-    # feats: (B, T_frames, C_last); frame_mask: (B, T_frames)
+    # feats: (B, T_frames, C_last); frame_mask: (B, T_frames); frame_valid: (B,)
 
     fp = params["feature_projection"]
     x = feats
@@ -335,7 +358,7 @@ def speech_encoder_forward(
         collected[0] = x
     last_idx = cfg.num_layers
     for i, p in enumerate(enc["layers"][: max(wanted)], start=1):
-        x = encoder_layer(cfg, p, x, key_bias, position_bias)
+        x = encoder_layer(cfg, p, x, key_bias, position_bias, frame_valid)
         if i in wanted:
             collected[i] = x
 

@@ -76,7 +76,12 @@ def _gelu(x):
 
 
 def _attention(p, x, kv, num_heads, causal=False):
-    """Whisper attention; kv == x for self-attention. k_proj has no bias."""
+    """Whisper attention; kv == x for self-attention. k_proj has no bias.
+
+    Measured: the fused flash kernel does NOT pay here (bf16 B=16: 26.2 ms
+    XLA vs 32.2 ms flash for the full forward) — this path computes logits
+    in x.dtype, so the bf16 mode never materializes f32 weights and XLA's
+    fused softmax wins; the speech encoders differ (f32 logits for parity)."""
     b, tq, d = x.shape
     tk = kv.shape[1]
     hd = d // num_heads

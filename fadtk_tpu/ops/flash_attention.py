@@ -1,0 +1,170 @@
+"""Fused flash attention for the bidirectional encoder stacks.
+
+Why: the XLA attention path materializes the (B, H, T, T) float32 logits and
+softmax weights in HBM — at the speech-family bench shape (B=128, H=12,
+T=499) that is ~1.5 GB written and re-read per encoder layer, and the profile
+shows the transformer stack is memory-bound on exactly this traffic (f32:
+192 ms / 12 layers, of which ~half is attention HBM time; the model's MXU
+ideal is 65 ms). This kernel streams K/V blocks through VMEM with the online
+softmax, so per (batch, head) only the (T, D) inputs and output ever touch
+HBM.
+
+Scope: non-causal self attention with an optional *prefix* key mask (keys
+``>= n_valid[b]`` are padding) — exactly what the speech encoders
+(w2v2/HuBERT/MERT) and the Whisper encoder need. WavLM's gated relative
+position bias is a dense (B, H, T, T) additive term, which defeats the point
+of not materializing (T, T) tensors — WavLM stays on the XLA path.
+
+Numerics: logits, the running softmax state and the output accumulator are
+float32 regardless of input dtype (matching the XLA path's
+``preferred_element_type=jnp.float32``); the result is cast back to the input
+dtype. The online softmax reorders the sum, so results match the reference
+softmax to float32 roundoff (~1e-6 relative), not bit-exactly.
+
+Layout: grid (B*H, Tq/BQ, Tkv/BK), innermost kv dimension iterated
+sequentially per TPU grid semantics; the (m, l, acc) state lives in VMEM
+scratch and is re-initialized when kv_idx == 0 and flushed at the last kv
+block. Time is padded to a multiple of the block sizes at the caller and the
+padding is folded into the key mask.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -0.7 * float(jnp.finfo(jnp.float32).max)  # finite "-inf" (NaN-safe)
+
+
+def flash_attention_enabled() -> bool:
+    """Use the fused kernel? Default: on for TPU-class backends, off on CPU
+    (tests run the XLA path on the virtual CPU mesh; the kernel itself is
+    CPU-testable via interpret=True)."""
+    env = os.environ.get("FADTK_TPU_FLASH_ATTENTION")
+    if env is not None:
+        return env == "1"
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
+def _kernel(nv_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, h):
+    """One (batch*head, q-block, kv-block) program step.
+
+    nv_ref: (B,) int32 scalar-prefetch — per-batch valid key counts.
+    q_ref: (1, BQ, D); k_ref/v_ref: (1, BK, D); o_ref: (1, BQ, D).
+    Scratch m/l: (BQ, 1) f32; acc: (BQ, D) f32 — carried across kv blocks.
+    """
+    kv_idx = pl.program_id(2)
+    n_valid = nv_ref[pl.program_id(0) // h]
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, _NEG)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]  # blocks carry a leading (b*h)-block dim of 1
+    k = k_ref[0]
+    bq, d = q.shape
+    bk = k.shape[0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (BQ, BK)
+    s = s * (d ** -0.5)
+
+    # Prefix key mask: global key index >= n_valid -> masked. Padding rows
+    # added to reach the block multiple have index >= T >= n_valid too.
+    col = kv_idx * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+    s = jnp.where(col < n_valid, s, _NEG)
+
+    m_prev = m_ref[:]
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+
+    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_ref[:] = m_new
+
+    @pl.when(kv_idx == pl.num_programs(2) - 1)
+    def _flush():
+        o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_kv", "interpret"))
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    n_valid: jax.Array | None = None,
+    block_q: int = 512,
+    block_kv: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """softmax(q k^T / sqrt(d)) v with an optional prefix key mask.
+
+    q, k, v: (B, H, T, D); n_valid: (B,) int32 valid key counts (None = all
+    T keys valid). Returns (B, H, T, D) in q's dtype; rows t >= n_valid[b]
+    attend over the same valid prefix (finite values, masked downstream by
+    the frame mask like the XLA path).
+    """
+    b, h, t, d = q.shape
+    if n_valid is None:
+        nv = jnp.full((b,), t, jnp.int32)
+    else:
+        nv = jnp.maximum(n_valid.astype(jnp.int32), 1)
+
+    # Clamp blocks for short sequences (defaults are tuned for the 10 s
+    # speech bucket, T_pad=512: bq=bk=512 measured 7.5 ms vs XLA's 13.0 ms
+    # at B=128/H=12 in bf16; 128/512 blocks were 8.7 ms).
+    block_q = min(block_q, _round_up(t, 128))
+    block_kv = min(block_kv, _round_up(t, 128))
+    tp = _round_up(t, max(block_q, block_kv))
+    if tp != t:
+        pad = ((0, 0), (0, 0), (0, tp - t), (0, 0))
+        q = jnp.pad(q, pad)
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+
+    qf = q.reshape(b * h, tp, d)
+    kf = k.reshape(b * h, tp, d)
+    vf = v.reshape(b * h, tp, d)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b * h, tp // block_q, tp // block_kv),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, qi, ki, nv: (bh, qi, 0)),
+            pl.BlockSpec((1, block_kv, d), lambda bh, qi, ki, nv: (bh, ki, 0)),
+            pl.BlockSpec((1, block_kv, d), lambda bh, qi, ki, nv: (bh, ki, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, qi, ki, nv: (bh, qi, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel, h=h),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b * h, tp, d), q.dtype),
+        interpret=interpret,
+    )(nv, qf, kf, vf)
+    return out.reshape(b, h, tp, d)[:, :, :t, :]
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m

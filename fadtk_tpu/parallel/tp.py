@@ -78,7 +78,7 @@ def speech_param_specs(cfg: SpeechEncoderConfig, params) -> dict:
     }
 
 
-def _tp_attention(cfg, p, x, key_bias, position_bias, tp_axis):
+def _tp_attention(cfg, p, x, key_bias, position_bias, tp_axis, frame_valid=None):
     """Head-sharded attention: local heads contract, psum after out_proj."""
     local_heads = p["q_proj"]["kernel"].shape[1] // cfg.head_dim
 
@@ -89,6 +89,16 @@ def _tp_attention(cfg, p, x, key_bias, position_bias, tp_axis):
     def split(t):
         b, s, _ = t.shape
         return t.reshape(b, s, local_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+
+    if cfg.attention_type != "wavlm" and enc.use_flash_attention(x.dtype, frame_valid):
+        from ..ops.flash_attention import flash_attention
+
+        o = flash_attention(split(q), split(k), split(v), frame_valid)
+        b, h, t, d = o.shape
+        out = o.transpose(0, 2, 1, 3).reshape(b, t, h * d)
+        out = out @ p["out_proj"]["kernel"]
+        out = jax.lax.psum(out, tp_axis)
+        return out + p["out_proj"]["bias"]
 
     bias = key_bias
     if cfg.attention_type == "wavlm":
@@ -117,8 +127,10 @@ def _tp_feed_forward(p, x, tp_axis):
     return y + p["output_dense"]["bias"]
 
 
-def _tp_encoder_layer(cfg, p, x, key_bias, position_bias, tp_axis):
-    attn = lambda y: _tp_attention(cfg, p["attention"], y, key_bias, position_bias, tp_axis)
+def _tp_encoder_layer(cfg, p, x, key_bias, position_bias, tp_axis, frame_valid=None):
+    attn = lambda y: _tp_attention(
+        cfg, p["attention"], y, key_bias, position_bias, tp_axis, frame_valid
+    )
     if cfg.do_stable_layer_norm:
         x = x + attn(enc._layer_norm(x, p["layer_norm"], cfg.layer_norm_eps))
         x = x + _tp_feed_forward(
@@ -147,7 +159,7 @@ def _tp_forward(cfg: SpeechEncoderConfig, params, audio, num_valid, tp_axis="tp"
         var = jnp.sum(jnp.square(audio - mean) * smask, axis=1, keepdims=True) / n
         audio = (audio - mean) / jnp.sqrt(var + 1e-7) * smask
 
-    feats, frame_mask, _ = jax.vmap(
+    feats, frame_mask, frame_valid = jax.vmap(
         lambda a, nv: enc._feature_extractor_single(cfg, params["feature_extractor"], a, nv)
     )(audio, num_valid)
 
@@ -177,7 +189,7 @@ def _tp_forward(cfg: SpeechEncoderConfig, params, audio, num_valid, tp_axis="tp"
 
     states = [x]
     for p in ep["layers"]:
-        x = _tp_encoder_layer(cfg, p, x, key_bias, position_bias, tp_axis)
+        x = _tp_encoder_layer(cfg, p, x, key_bias, position_bias, tp_axis, frame_valid)
         states.append(x)
     if cfg.do_stable_layer_norm:
         states[-1] = enc._layer_norm(states[-1], ep["layer_norm"], cfg.layer_norm_eps)
