@@ -165,7 +165,12 @@ def _family_cases():
 
         audio = jnp.asarray(rng.standard_normal((b, sec * SR)), jnp.float32) * 0.1
         nv = jnp.full((b,), sec * SR, jnp.int32)
-        return fwd, params, (audio, nv), b * sec, ""
+        return fwd, params, (audio, nv), b * sec, (
+            "bf16 routes attention through the fused flash kernel "
+            "(ops/flash_attention.py) - without it bf16 was SLOWER than f32 "
+            "(the XLA path materializes f32 (B,H,T,T) logits plus cast "
+            "roundtrips); f32 stays on XLA for HF parity"
+        )
 
     def vggish(dtype):
         from fadtk_tpu.models.vggish import init_vggish_params, vggish_forward
