@@ -11,6 +11,7 @@ grouped and served from a single forward pass per file.
 
 from __future__ import annotations
 
+import os
 from argparse import ArgumentParser
 
 from ..models.registry import get_all_models
@@ -27,7 +28,13 @@ def main() -> None:
     ap.add_argument("-w", "--workers", type=int, default=8)
     ap.add_argument("-s", "--sox-path", type=str, default="/usr/bin/sox",
                     help="(accepted for reference compatibility; unused)")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 throughput mode: embeddings cache under "
+                         "'<model>-bf16' (see fadtk --bf16)")
     args = ap.parse_args()
+
+    if args.bf16:
+        os.environ["FADTK_TPU_BF16"] = "1"
 
     selected = [models[name] for name in args.models]
     for d in args.dirs:

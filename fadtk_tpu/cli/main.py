@@ -11,6 +11,7 @@ CSV append format `model,baseline,eval,score,inf_r2,time`, same stdout summary.
 
 from __future__ import annotations
 
+import os
 import time
 from argparse import ArgumentParser
 from pathlib import Path
@@ -50,6 +51,12 @@ def main() -> None:
                     choices=["eigh", "reference", "newton_schulz"],
                     help="sqrtm evaluator: f64 eigh (default), the reference's "
                          "bit-faithful scipy dual computation, or device f32 NS")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 throughput mode: model weights/compute run in "
+                         "bfloat16 (up to ~1.8x embed throughput on TPU; see "
+                         "models/precision.py). Embeddings differ slightly "
+                         "from float32, so caches/stats/results key under "
+                         "'<model>-bf16'. Scoring math stays float64 on host.")
     ap.add_argument("--device-pipeline", action="store_true",
                     help="plain-score fast path: embed and accumulate dataset "
                          "Gaussians entirely on the device mesh (all local "
@@ -57,6 +64,9 @@ def main() -> None:
                          "embedding .npy caches. Plain score only; stats "
                          "match the cached path to float32 accumulation")
     args = ap.parse_args()
+
+    if args.bf16:
+        os.environ["FADTK_TPU_BF16"] = "1"
 
     model = models[args.model]
     baseline, eval_ = args.baseline, args.eval
@@ -116,10 +126,12 @@ def _report(args, model, baseline, eval_, score, inf_r2) -> None:
         if not csv.is_file():
             csv.write_text("model,baseline,eval,score,inf_r2,time\n")
         with open(csv, "a") as f:
-            f.write(f"{model.name},{baseline},{eval_},{score},{inf_r2},{time.time()}\n")
+            # cache_name == name except in --bf16 mode, where rows are
+            # self-describing ('<model>-bf16': different numerics).
+            f.write(f"{model.cache_name},{baseline},{eval_},{score},{inf_r2},{time.time()}\n")
         log.info(f"FAD score appended to {args.csv}")
 
-    log.info(f"The FAD {model.name} score between {baseline} and {eval_} is: {score}")
+    log.info(f"The FAD {model.cache_name} score between {baseline} and {eval_} is: {score}")
 
 
 if __name__ == "__main__":

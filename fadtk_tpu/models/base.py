@@ -38,25 +38,50 @@ def checkpoint_dir() -> Path:
 class EmbeddingModel(ABC):
     """One embedding model variant (one registry name)."""
 
+    #: Families where the bf16 fast mode (FADTK_TPU_BF16 / --bf16) is a real
+    #: win opt in; DAC pins False (bench-neutral, keep reference numerics).
+    SUPPORTS_BF16 = True
+
     def __init__(self, name: str, num_features: int, sr: int, min_len: int = -1):
         self.name = name
         self.num_features = num_features
         self.sr = sr
         self.min_len = min_len
         self.loaded = False
+        self._bf16_cast = False
 
     # ------------------------------------------------------------------ #
-    # Loading
+    # Loading / precision
     # ------------------------------------------------------------------ #
 
     @abstractmethod
     def load_model(self) -> None:
         """Materialize parameters (converted checkpoint or random for tests)."""
 
+    @property
+    def bf16(self) -> bool:
+        """Is the bf16 throughput mode active for this model (models/precision.py)?"""
+        from .precision import bf16_enabled
+
+        return self.SUPPORTS_BF16 and bf16_enabled()
+
+    @property
+    def cache_name(self) -> str:
+        """Name keying embedding/stats caches. bf16-mode embeddings differ
+        numerically from the float32 reference-parity ones, so they live under
+        a distinct ``<name>-bf16`` cache and can never mix."""
+        return f"{self.name}-bf16" if self.bf16 else self.name
+
     def ensure_loaded(self) -> None:
         if not self.loaded:
             self.load_model()
             self.loaded = True
+        if self.bf16 and not self._bf16_cast and getattr(self, "params", None) is not None:
+            from .precision import cast_params_bf16
+
+            self.params = cast_params_bf16(self.params)
+            self._bf16_cast = True
+            log.info(f"{self.name}: bf16 throughput mode (params cast to bfloat16)")
 
     # ------------------------------------------------------------------ #
     # Audio input
@@ -105,7 +130,9 @@ class EmbeddingModel(ABC):
         """Embed and downcast for storage (parity: fadtk/model_loader.py:40-50)."""
         self.ensure_loaded()
         embd = np.asarray(self._embed(audio))
-        if embd.dtype == np.float32:
+        # bfloat16 outputs (bf16 fast mode) also store as float16 — the cache
+        # format is reference-fixed (f16 npy).
+        if embd.dtype == np.float32 or embd.dtype.name == "bfloat16":
             embd = embd.astype(np.float16)
         return embd
 

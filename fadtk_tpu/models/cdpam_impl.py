@@ -90,9 +90,13 @@ def cdpam_forward(cfg: CdpamConfig, params, chunks: jax.Array, lengths: jax.Arra
 
     chunks: (B, chunk_samples) float32 at int16 scale, zero-padded past each
     chunk's valid length. lengths: (B,) int32 valid sample counts.
-    Returns (features, acoustic, content): (B, C_last), (B, 512), (B, 512).
+    Returns (features, acoustic, content): (B, C_last), (B, 512), (B, 512),
+    float32 (compute follows the parameter dtype — models/precision.py; bf16
+    fast mode measured +78% throughput, the stack is bandwidth-bound).
     """
-    x = chunks[:, :, None]
+    from .precision import param_dtype
+
+    x = chunks.astype(param_dtype(params))[:, :, None]
     n = lengths.astype(jnp.int32)
     for conv, bn in zip(params["convs"], params["norms"]):
         x = _conv1d_same(x, conv["kernel"], conv["bias"], cfg.stride)
@@ -106,7 +110,11 @@ def cdpam_forward(cfg: CdpamConfig, params, chunks: jax.Array, lengths: jax.Arra
     feats = jnp.sum(x, axis=1) / jnp.maximum(n, 1)[:, None].astype(x.dtype)
     acoustic = feats @ params["acoustic"]["kernel"] + params["acoustic"]["bias"]
     content = feats @ params["content"]["kernel"] + params["content"]["bias"]
-    return feats, acoustic, content
+    return (
+        feats.astype(jnp.float32),
+        acoustic.astype(jnp.float32),
+        content.astype(jnp.float32),
+    )
 
 
 def l2_normalize(v: jax.Array, eps: float = 1e-12) -> jax.Array:

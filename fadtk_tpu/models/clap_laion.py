@@ -44,10 +44,15 @@ _MEL = dict(sr=_SR, n_fft=1024, hop=480, n_mels=64, fmin=50.0, fmax=14000.0)
 
 
 def _forward(cfg: HTSATConfig, params, chunks):
-    """(B, 480000) -> (B, proj_dim) normalized."""
+    """(B, 480000) -> (B, proj_dim) normalized.
+
+    The mel frontend always runs float32; the Swin tower + projection follow
+    the parameter dtype (bf16 fast mode); the L2 normalization is float32.
+    """
     mel = torchlibrosa_log_mel(chunks, **_MEL)  # (B, 1001, 64)
     pooled = htsat_forward(cfg, params, mel[:, None, :, :])
     proj = clap_audio_projection(params["audio_projection"], pooled)
+    proj = proj.astype(jnp.float32)
     return proj / jnp.linalg.norm(proj, axis=-1, keepdims=True)
 
 

@@ -60,7 +60,7 @@ def _forward(cfg: HTSATConfig, mel: _MelParams, params, chunks):
         fmin=mel.fmin, fmax=mel.fmax,
     )
     pooled = htsat_forward(cfg, params, m[:, None, :, :])
-    return msclap_projection(params["projection"], pooled)
+    return msclap_projection(params["projection"], pooled).astype(jnp.float32)
 
 
 @lru_cache(maxsize=4)

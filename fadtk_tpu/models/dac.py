@@ -39,6 +39,11 @@ def _jitted(cfg: DACEncoderConfig):
 
 
 class DACModel(EmbeddingModel):
+    # bf16 was bench-neutral for DAC (BENCH_FAMILIES.json: 464.5 vs 465.2
+    # window-s/s — the dilated convs are intensity-bound, not bandwidth-bound),
+    # so the fast mode keeps DAC at reference float32 numerics.
+    SUPPORTS_BF16 = False
+
     def __init__(self):
         super().__init__("dac-44kHz", 1024, _SR)
         self.cfg = DAC_44K

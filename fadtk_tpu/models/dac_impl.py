@@ -70,8 +70,16 @@ def _residual_unit(p, x, dilation):
 
 
 def dac_encode(cfg: DACEncoderConfig, params, audio: jax.Array) -> jax.Array:
-    """(B, 1, T) -> (B, T_frames, latent_dim) continuous latents."""
-    x = _conv(params["conv_in"], audio, padding=3)
+    """(B, 1, T) -> (B, T_frames, latent_dim) continuous latents.
+
+    Compute follows the parameter dtype (models/precision.py); float32 out.
+    DACModel pins SUPPORTS_BF16=False (bf16 was bench-neutral here), so the
+    product path always runs this in float32 — the cast is an identity kept
+    for API uniformity with the other families.
+    """
+    from .precision import param_dtype
+
+    x = _conv(params["conv_in"], audio.astype(param_dtype(params)), padding=3)
     for i, stride in enumerate(cfg.strides):
         block = params["blocks"][i]
         for j, dil in enumerate((1, 3, 9)):
@@ -80,7 +88,7 @@ def dac_encode(cfg: DACEncoderConfig, params, audio: jax.Array) -> jax.Array:
         x = _conv(block["down"], x, stride=stride, padding=math.ceil(stride / 2))
     x = _snake(x, params["alpha_out"])
     x = _conv(params["conv_out"], x, padding=1)
-    return x.transpose(0, 2, 1)
+    return x.transpose(0, 2, 1).astype(jnp.float32)
 
 
 def init_dac_params(cfg: DACEncoderConfig, key, dtype=jnp.float32):

@@ -177,8 +177,15 @@ def _lstm(cfg, p, x):
 
 
 def encodec_encode(cfg: EncodecEncoderConfig, params, audio: jax.Array) -> jax.Array:
-    """(B, channels, T) -> (B, T_frames, hidden_size) continuous latents."""
-    x = audio
+    """(B, channels, T) -> (B, T_frames, hidden_size) continuous latents.
+
+    Compute follows the parameter dtype (identity for float32 params; the
+    opt-in bf16 fast mode casts params — models/precision.py); latents return
+    as float32 for the fixed f16 cache format either way.
+    """
+    from .precision import param_dtype
+
+    x = audio.astype(param_dtype(params))
     for kind, idx, meta in encoder_plan(cfg):
         p = params["layers"].get(str(idx))
         if kind == "conv":
@@ -189,7 +196,7 @@ def encodec_encode(cfg: EncodecEncoderConfig, params, audio: jax.Array) -> jax.A
             x = jax.nn.elu(x)
         elif kind == "lstm":
             x = _lstm(cfg, p, x)
-    return x.transpose(0, 2, 1)
+    return x.transpose(0, 2, 1).astype(jnp.float32)
 
 
 # --------------------------------------------------------------------------- #

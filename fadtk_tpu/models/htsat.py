@@ -240,9 +240,13 @@ def htsat_forward(cfg: HTSATConfig, params, input_features: jax.Array) -> jax.Ar
     b, ch, t, mel = input_features.shape
     assert ch == 1 and mel == cfg.num_mel_bins
 
+    # Compute follows the parameter dtype (models/precision.py): the f32 mel
+    # frontend output casts down here when the bf16 fast mode is active.
+    from .precision import param_dtype
+
     # Per-mel-bin batch norm (eval: running stats).
     bn = params["batch_norm"]
-    x = input_features
+    x = input_features.astype(param_dtype(params))
     x = (x - bn["mean"][None, None, None, :]) / jnp.sqrt(bn["var"][None, None, None, :] + 1e-5)
     x = x * bn["scale"][None, None, None, :] + bn["bias"][None, None, None, :]
 

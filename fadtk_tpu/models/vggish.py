@@ -39,8 +39,13 @@ def _max_pool_2x2(x):
 
 
 def vggish_forward(params, examples: jax.Array) -> jax.Array:
-    """(N, 96, 64) log-mel examples -> (N, 128) embeddings."""
-    x = examples[..., None]  # NHWC
+    """(N, 96, 64) log-mel examples -> (N, 128) embeddings.
+
+    Compute follows the parameter dtype (models/precision.py); float32 out.
+    """
+    from .precision import param_dtype
+
+    x = examples.astype(param_dtype(params))[..., None]  # NHWC
     for i, conv in enumerate(params["features"]):
         x = jax.lax.conv_general_dilated(
             x,
@@ -58,7 +63,7 @@ def vggish_forward(params, examples: jax.Array) -> jax.Array:
     x = jax.nn.relu(x @ params["fc1"]["kernel"] + params["fc1"]["bias"])
     x = jax.nn.relu(x @ params["fc2"]["kernel"] + params["fc2"]["bias"])
     # Final ReLU intentionally absent (reference strips it, model_loader.py:102-103).
-    return x @ params["fc3"]["kernel"] + params["fc3"]["bias"]
+    return (x @ params["fc3"]["kernel"] + params["fc3"]["bias"]).astype(jnp.float32)
 
 
 def init_vggish_params(key, dtype=jnp.float32):

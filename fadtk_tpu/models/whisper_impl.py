@@ -165,11 +165,18 @@ def whisper_decode(cfg: WhisperConfig, params, token_ids: jax.Array, enc_states:
 
 def whisper_forward(cfg: WhisperConfig, params, input_features: jax.Array) -> jax.Array:
     """The reference's embedding forward: 2 forced start tokens -> (B, 2, d)
-    decoder states (fadtk/model_loader.py:662,669)."""
+    decoder states (fadtk/model_loader.py:662,669).
+
+    Compute follows the parameter dtype (models/precision.py; bf16 fast mode
+    measured +71% throughput on whisper-base); float32 out for the f16 cache.
+    """
+    from .precision import param_dtype
+
+    input_features = input_features.astype(param_dtype(params))
     enc_states = whisper_encode(cfg, params, input_features)
     b = input_features.shape[0]
     tokens = jnp.full((b, 2), cfg.decoder_start_token_id, jnp.int32)
-    return whisper_decode(cfg, params, tokens, enc_states)
+    return whisper_decode(cfg, params, tokens, enc_states).astype(jnp.float32)
 
 
 # --------------------------------------------------------------------------- #

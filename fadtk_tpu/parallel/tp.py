@@ -159,6 +159,11 @@ def _tp_forward(cfg: SpeechEncoderConfig, params, audio, num_valid, tp_axis="tp"
         var = jnp.sum(jnp.square(audio - mean) * smask, axis=1, keepdims=True) / n
         audio = (audio - mean) / jnp.sqrt(var + 1e-7) * smask
 
+    # Compute follows the parameter dtype, like the single-device forward
+    # (encoder.py speech_encoder_forward): normalization above stays f32,
+    # the conv/transformer stack runs in bf16 when --bf16 cast the params.
+    audio = audio.astype(params["feature_projection"]["projection"]["kernel"].dtype)
+
     feats, frame_mask, frame_valid = jax.vmap(
         lambda a, nv: enc._feature_extractor_single(cfg, params["feature_extractor"], a, nv)
     )(audio, num_valid)

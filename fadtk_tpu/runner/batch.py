@@ -53,7 +53,7 @@ def cache_embedding_files_multi(
     for group in groups.values():
         todo = [
             f for f in files
-            if any(not get_cache_embedding_path(m.name, f).exists() for m in group)
+            if any(not get_cache_embedding_path(m.cache_name, f).exists() for m in group)
         ]
         if not todo:
             continue
@@ -68,7 +68,7 @@ def cache_embedding_files_multi(
             with profiling.stage("embed"):
                 all_layers = primary.embed_all_layers(np.asarray(wav))
             for m in group:
-                cache = get_cache_embedding_path(m.name, f)
+                cache = get_cache_embedding_path(m.cache_name, f)
                 if cache.exists():
                     continue
                 atomic_save_npy(cache, all_layers[m.layer].astype(np.float16))
@@ -92,7 +92,7 @@ def cache_embedding_files(
     if isinstance(files, (str, Path)):
         files = dataset_files(files)
 
-    files = [f for f in files if not get_cache_embedding_path(ml.name, f).exists()]
+    files = [f for f in files if not get_cache_embedding_path(ml.cache_name, f).exists()]
     if len(files) == 0:
         log.info("All files already have embeddings, skipping.")
         return
@@ -121,7 +121,7 @@ def cache_embedding_files(
             group = list(ex.map(prepare, files[i : i + window]))
             todo = [
                 (f, wav) for f, wav in group
-                if not get_cache_embedding_path(ml.name, f).exists()
+                if not get_cache_embedding_path(ml.cache_name, f).exists()
             ]
             if not todo:
                 continue
@@ -130,8 +130,8 @@ def cache_embedding_files(
             with profiling.stage("embed"):
                 embeds = ml.embed_batch([np.asarray(w) for _, w in todo])
             for (f, _), embd in zip(todo, embeds):
-                if embd.dtype == np.float32:
+                if embd.dtype == np.float32 or embd.dtype.name == "bfloat16":
                     embd = embd.astype(np.float16)
-                atomic_save_npy(get_cache_embedding_path(ml.name, f), embd)
+                atomic_save_npy(get_cache_embedding_path(ml.cache_name, f), embd)
             done += len(group)
     profiling.report()

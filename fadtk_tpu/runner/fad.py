@@ -133,7 +133,7 @@ class FrechetAudioDistance:
         """
         from . import profiling
 
-        cache = get_cache_embedding_path(self.ml.name, audio_path)
+        cache = get_cache_embedding_path(self.ml.cache_name, audio_path)
         if cache.exists():
             return
         with profiling.stage("load_audio"):
@@ -144,7 +144,7 @@ class FrechetAudioDistance:
 
     def read_embedding_file(self, audio_path: PathLike) -> np.ndarray:
         """Parity: reference fadtk/fad.py:203-209."""
-        cache = get_cache_embedding_path(self.ml.name, audio_path)
+        cache = get_cache_embedding_path(self.ml.cache_name, audio_path)
         assert cache.exists(), (
             f"Embedding file {cache} does not exist, please run cache_embedding_file first."
         )
@@ -212,8 +212,11 @@ class FrechetAudioDistance:
                     )
                 return data[mu_key], data[cov_key]
 
-        cache_dir = get_stats_cache_dir(path, self.ml.name)
-        emb_dir = path / "embeddings" / self.ml.name
+        # bf16-mode embeddings live (and cache their stats) under a distinct
+        # `<model>-bf16` name; packaged .npz baselines above keep the plain
+        # model key (they are the reference's float32 statistics).
+        cache_dir = get_stats_cache_dir(path, self.ml.cache_name)
+        emb_dir = path / "embeddings" / self.ml.cache_name
         if cache_dir.exists():
             log.info(f"Embedding statistics is already cached for {path}, loading...")
             return np.load(cache_dir / "mu.npy"), np.load(cache_dir / "cov.npy")
@@ -311,7 +314,7 @@ class FrechetAudioDistance:
         """
         csv = Path(csv_name)
         if isinstance(csv_name, str):
-            csv = Path("data") / "fad-individual" / self.ml.name / csv_name
+            csv = Path("data") / "fad-individual" / self.ml.cache_name / csv_name
         if csv.exists():
             log.info(f"CSV file {csv} already exists, exiting...")
             return csv

@@ -1,0 +1,206 @@
+"""bf16 throughput mode (FADTK_TPU_BF16 / --bf16, models/precision.py).
+
+The reference is float32-only; the bf16 mode is a TPU-native addition. These
+tests pin its contract:
+
+- params cast to bfloat16 at ensure_loaded; compute follows param dtype;
+- embeddings stay float16 on disk and close to the float32 ones;
+- caches/stats segregate under '<model>-bf16' (never mixing precisions);
+- families that pin SUPPORTS_BF16=False (DAC) stay float32 even when the
+  mode is on.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+os.environ["FADTK_TPU_RANDOM_WEIGHTS"] = "1"
+
+import jax
+import jax.numpy as jnp
+
+from fadtk_tpu.models.precision import bf16_enabled, cast_params_bf16, param_dtype
+
+
+def _leaf_dtypes(params):
+    return {str(leaf.dtype) for leaf in jax.tree.leaves(params)
+            if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating)}
+
+
+def test_env_parsing(monkeypatch):
+    for v, expect in [("1", True), ("true", True), ("ON", True),
+                      ("0", False), ("", False), ("no", False)]:
+        monkeypatch.setenv("FADTK_TPU_BF16", v)
+        assert bf16_enabled() is expect
+    monkeypatch.delenv("FADTK_TPU_BF16")
+    assert bf16_enabled() is False
+
+
+def test_param_dtype_and_cast():
+    params = {"a": {"kernel": jnp.ones((2, 2), jnp.float32)},
+              "ids": jnp.zeros((3,), jnp.int32)}
+    assert param_dtype(params) == jnp.float32
+    cast = cast_params_bf16(params)
+    assert cast["a"]["kernel"].dtype == jnp.bfloat16
+    assert cast["ids"].dtype == jnp.int32  # ints untouched
+    assert param_dtype(cast) == jnp.bfloat16
+
+
+def test_cache_name_suffix(monkeypatch):
+    from fadtk_tpu.models.dac import DACModel
+    from fadtk_tpu.models.wav2vec2 import W2V2Model
+
+    m = W2V2Model("base", layer=12)
+    assert m.cache_name == m.name
+    monkeypatch.setenv("FADTK_TPU_BF16", "1")
+    assert m.cache_name == f"{m.name}-bf16"
+    # DAC pins SUPPORTS_BF16=False: name (and numerics) stay float32.
+    d = DACModel()
+    assert d.cache_name == d.name
+
+
+def test_dac_params_stay_f32(monkeypatch):
+    from fadtk_tpu.models.dac import DACModel
+
+    monkeypatch.setenv("FADTK_TPU_BF16", "1")
+    d = DACModel()
+    d.ensure_loaded()
+    assert _leaf_dtypes(d.params) == {"float32"}
+
+
+def _bf16_vs_f32(make_model, audio, monkeypatch):
+    """Embed the same clip with f32 and bf16 instances of one model."""
+    monkeypatch.delenv("FADTK_TPU_BF16", raising=False)
+    m32 = make_model()
+    e32 = m32.get_embedding(audio)
+
+    monkeypatch.setenv("FADTK_TPU_BF16", "1")
+    m16 = make_model()
+    m16.ensure_loaded()
+    assert "bfloat16" in _leaf_dtypes(m16.params)
+    e16 = m16.get_embedding(audio)
+    monkeypatch.delenv("FADTK_TPU_BF16")
+    return e32, e16
+
+
+def _assert_close(e32, e16, mad_tol):
+    assert e16.dtype == np.float16  # storage format unchanged
+    assert e16.shape == e32.shape
+    a, b = e32.astype(np.float64), e16.astype(np.float64)
+    scale = np.abs(a).mean() + 1e-12
+    mad = np.abs(a - b).mean() / scale
+    assert mad < mad_tol, f"bf16 deviates {mad:.4f} (> {mad_tol}) from f32"
+
+
+def test_speech_bf16_close(monkeypatch):
+    from fadtk_tpu.models.wav2vec2 import W2V2Model
+
+    audio = np.random.default_rng(0).standard_normal(16000) * 0.1
+    e32, e16 = _bf16_vs_f32(lambda: W2V2Model("base", layer=12), audio, monkeypatch)
+    _assert_close(e32, e16, mad_tol=0.15)  # 12 transformer layers compound bf16 noise
+
+
+def test_vggish_bf16_close(monkeypatch):
+    from fadtk_tpu.models.vggish import VGGishModel
+
+    audio = np.random.default_rng(1).standard_normal(32000) * 0.1
+    e32, e16 = _bf16_vs_f32(VGGishModel, audio, monkeypatch)
+    _assert_close(e32, e16, mad_tol=0.1)
+
+
+def test_encodec_bf16_close(monkeypatch):
+    from fadtk_tpu.models.encodec import EncodecEmbModel
+
+    audio = np.random.default_rng(2).standard_normal(24000) * 0.1
+    e32, e16 = _bf16_vs_f32(lambda: EncodecEmbModel("24k"), audio, monkeypatch)
+    _assert_close(e32, e16, mad_tol=0.1)
+
+
+def test_cdpam_bf16_close(monkeypatch):
+    from fadtk_tpu.models.cdpam import CdpamModel
+
+    audio = (np.random.default_rng(3).standard_normal(33075) * 3000).astype(np.float32)
+    e32, e16 = _bf16_vs_f32(lambda: CdpamModel("acoustic"), audio, monkeypatch)
+    _assert_close(e32, e16, mad_tol=0.1)
+
+
+def test_bf16_cache_segregation_e2e(tmp_path, monkeypatch):
+    """--bf16 embeds cache under embeddings/<model>-bf16 and never touch the
+    float32 cache; scoring works end-to-end in the mode."""
+    from fadtk_tpu.audio.wavio import float_to_int16, write_wav_int16
+    from fadtk_tpu.models.vggish import VGGishModel
+    from fadtk_tpu.runner.batch import cache_embedding_files
+    from fadtk_tpu.runner.fad import FrechetAudioDistance
+
+    def make(name, seed, n=3):
+        d = tmp_path / name
+        d.mkdir()
+        rng = np.random.default_rng(seed)
+        sr = 16000
+        for i in range(n):
+            t = np.arange(sr) / sr
+            x = 0.4 * np.sin(2 * np.pi * rng.uniform(100, 2000) * t)
+            write_wav_int16(d / f"c{i}.wav", float_to_int16(x), sr)
+        return d
+
+    baseline, eval_ = make("b", 0), make("e", 9)
+
+    monkeypatch.setenv("FADTK_TPU_BF16", "1")
+    model = VGGishModel()
+    for d in (baseline, eval_):
+        cache_embedding_files(d, model, workers=2)
+        assert (d / "embeddings" / "vggish-bf16").is_dir()
+        assert not (d / "embeddings" / "vggish").exists()
+        for f in (d / "embeddings" / "vggish-bf16").glob("*.npy"):
+            assert np.load(f).dtype == np.float16
+
+    fad = FrechetAudioDistance(model, load_model=False)
+    score = fad.score(baseline, eval_)
+    assert np.isfinite(score) and score >= 0
+    # Stats cached under the bf16 name too.
+    assert (baseline / "stats" / "vggish-bf16").is_dir()
+
+
+def test_bf16_device_pipeline_tp(tmp_path, monkeypatch):
+    """--bf16 + --device-pipeline: the (dp, tp) sharded speech step runs with
+    bf16 params and its Gaussian stays close to the f32 one."""
+    from fadtk_tpu.audio.wavio import float_to_int16, write_wav_int16
+    from fadtk_tpu.models.wav2vec2 import W2V2Model
+    from fadtk_tpu.parallel.mesh import make_mesh
+    from fadtk_tpu.runner.device_pipeline import dataset_stats_device
+
+    d = tmp_path / "ds"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    sr = 16000
+    for i in range(4):
+        t = np.arange(int(sr * 1.5)) / sr
+        x = 0.3 * np.sin(2 * np.pi * rng.uniform(200, 2000) * t)
+        write_wav_int16(d / f"c{i}.wav", float_to_int16(x), sr)
+
+    mesh = make_mesh(8, tp=2)
+
+    monkeypatch.delenv("FADTK_TPU_BF16", raising=False)
+    m32 = W2V2Model("base", layer=12)
+    mu32, cov32, n32 = dataset_stats_device(m32, d, mesh=mesh, batch=4)
+
+    monkeypatch.setenv("FADTK_TPU_BF16", "1")
+    m16 = W2V2Model("base", layer=12)
+    mu16, cov16, n16 = dataset_stats_device(m16, d, mesh=mesh, batch=4)
+    assert "bfloat16" in _leaf_dtypes(m16.params)
+
+    assert n16 == n32  # masking/frame counts are precision-independent
+    scale = np.abs(mu32).mean() + 1e-12
+    assert np.abs(mu16 - mu32).mean() / scale < 0.2
+    assert np.isfinite(cov16).all()
+
+
+def test_cli_flag_exposed():
+    """`fadtk --bf16` and `fadtk-embeds --bf16` parse (flag plumbing)."""
+    import fadtk_tpu.cli.embeds as embeds_cli
+    import fadtk_tpu.cli.main as main_cli
+    import inspect
+
+    assert "--bf16" in inspect.getsource(main_cli)
+    assert "--bf16" in inspect.getsource(embeds_cli)
