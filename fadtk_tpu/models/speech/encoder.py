@@ -211,11 +211,16 @@ def wavlm_position_bias(cfg: SpeechEncoderConfig, rel_attn_embed, t: int):
     return values.transpose(2, 0, 1)
 
 
-def wavlm_attention(cfg: SpeechEncoderConfig, p, x, key_bias, position_bias):
+def wavlm_attention(cfg: SpeechEncoderConfig, p, x, key_bias, position_bias, frame_valid=None):
     """WavLM gated relative position bias attention (HF WavLMAttention).
 
     The gate is computed from the *unprojected* per-head hidden states:
     proj -> (..., 2, 4).sum(-1) -> sigmoid -> a * (b * const - 1) + 2.
+
+    bf16 fast mode: the bias factorizes as gate(B,H,T) ⊙ position_bias(H,T,T),
+    so the fused kernel streams it without ever materializing the dense
+    (B, H, T, T) term (ops/flash_attention.py); the key_bias prefix mask is
+    the kernel's n_valid. f32 stays on XLA for HF parity.
     """
     b, t, _ = x.shape
     gated_hs = x.reshape(b, t, cfg.num_heads, cfg.head_dim).transpose(0, 2, 1, 3)
@@ -225,17 +230,24 @@ def wavlm_attention(cfg: SpeechEncoderConfig, p, x, key_bias, position_bias):
     gate_a, gate_b = gates[..., 0], gates[..., 1]  # (B, H, T)
     const = p["gru_rel_pos_const"].reshape(1, cfg.num_heads, 1)
     gate = gate_a * (gate_b * const - 1.0) + 2.0  # (B, H, T)
-    gated_bias = gate[..., None] * position_bias[None]  # (B, H, T, T)
 
     q = x @ p["q_proj"]["kernel"] + p["q_proj"]["bias"]
     k = x @ p["k_proj"]["kernel"] + p["k_proj"]["bias"]
     v = x @ p["v_proj"]["kernel"] + p["v_proj"]["bias"]
-    out = _attention_core(
-        _split_heads(q, cfg.num_heads),
-        _split_heads(k, cfg.num_heads),
-        _split_heads(v, cfg.num_heads),
-        gated_bias + key_bias,
-    )
+    qh, kh, vh = (_split_heads(y, cfg.num_heads) for y in (q, k, v))
+    if use_flash_attention(x.dtype, frame_valid):
+        from ...ops.flash_attention import flash_attention
+
+        o = flash_attention(
+            qh, kh, vh, frame_valid,
+            position_bias=position_bias.astype(jnp.float32),
+            gate=gate.astype(jnp.float32),
+        )
+        bo, h, to, d = o.shape
+        out = o.transpose(0, 2, 1, 3).reshape(bo, to, h * d)
+    else:
+        gated_bias = gate[..., None] * position_bias[None]  # (B, H, T, T)
+        out = _attention_core(qh, kh, vh, gated_bias + key_bias)
     return out @ p["out_proj"]["kernel"] + p["out_proj"]["bias"]
 
 
@@ -251,9 +263,9 @@ def _feed_forward(p, x):
 
 def encoder_layer(cfg: SpeechEncoderConfig, p, x, key_bias, position_bias, frame_valid=None):
     if cfg.attention_type == "wavlm":
-        # WavLM's gated position bias is a dense (B, H, T, T) additive term —
-        # materializing it defeats flash attention, so WavLM keeps XLA.
-        attn = lambda y: wavlm_attention(cfg, p["attention"], y, key_bias, position_bias)
+        attn = lambda y: wavlm_attention(
+            cfg, p["attention"], y, key_bias, position_bias, frame_valid
+        )
     else:
         attn = lambda y: standard_attention(cfg, p["attention"], y, key_bias, frame_valid)
 

@@ -10,10 +10,13 @@ softmax, so per (batch, head) only the (T, D) inputs and output ever touch
 HBM.
 
 Scope: non-causal self attention with an optional *prefix* key mask (keys
-``>= n_valid[b]`` are padding) — exactly what the speech encoders
-(w2v2/HuBERT/MERT) and the Whisper encoder need. WavLM's gated relative
-position bias is a dense (B, H, T, T) additive term, which defeats the point
-of not materializing (T, T) tensors — WavLM stays on the XLA path.
+``>= n_valid[b]`` are padding) — what the speech encoders (w2v2/HuBERT/MERT)
+and the Whisper encoder need — plus an optional *factorized* additive bias
+``gate[b, h, tq] * position_bias[h, tq, tk]``, which is exactly WavLM's gated
+relative position bias. The factorization is the key: the dense (B, H, T, T)
+bias never materializes — the kernel streams (H, T, T) position-bias blocks
+(12 MB at H=12, T=512: batch-independent) and a (B, H, T) row gate, so WavLM
+gets the same HBM-traffic win as the unbiased families.
 
 Numerics: logits, the running softmax state and the output accumulator are
 float32 regardless of input dtype (matching the XLA path's
@@ -54,11 +57,13 @@ def flash_attention_enabled() -> bool:
         return False
 
 
-def _kernel(nv_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, h):
+def _body(nv_ref, q_ref, k_ref, v_ref, pb_ref, g_ref, o_ref, m_ref, l_ref, acc_ref, *, h):
     """One (batch*head, q-block, kv-block) program step.
 
     nv_ref: (B,) int32 scalar-prefetch — per-batch valid key counts.
     q_ref: (1, BQ, D); k_ref/v_ref: (1, BK, D); o_ref: (1, BQ, D).
+    pb_ref: (1, BQ, BK) f32 position-bias block or None;
+    g_ref: (1, BQ, 1) f32 per-query-row gate block or None (both or neither).
     Scratch m/l: (BQ, 1) f32; acc: (BQ, D) f32 — carried across kv blocks.
     """
     kv_idx = pl.program_id(2)
@@ -79,6 +84,11 @@ def _kernel(nv_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, h):
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (BQ, BK)
     s = s * (d ** -0.5)
+
+    if pb_ref is not None:
+        # Factorized additive bias (WavLM): gate[row] * position_bias[row, col],
+        # matching the XLA path's `logits + (gate[..., None] * pb)` in f32.
+        s = s + g_ref[0] * pb_ref[0]
 
     # Prefix key mask: global key index >= n_valid -> masked. Padding rows
     # added to reach the block multiple have index >= T >= n_valid too.
@@ -103,6 +113,14 @@ def _kernel(nv_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, h):
         o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(o_ref.dtype)
 
 
+def _kernel(nv_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, h):
+    _body(nv_ref, q_ref, k_ref, v_ref, None, None, o_ref, m_ref, l_ref, acc_ref, h=h)
+
+
+def _kernel_bias(nv_ref, q_ref, k_ref, v_ref, pb_ref, g_ref, o_ref, m_ref, l_ref, acc_ref, *, h):
+    _body(nv_ref, q_ref, k_ref, v_ref, pb_ref, g_ref, o_ref, m_ref, l_ref, acc_ref, h=h)
+
+
 @functools.partial(jax.jit, static_argnames=("block_q", "block_kv", "interpret"))
 def flash_attention(
     q: jax.Array,
@@ -112,19 +130,26 @@ def flash_attention(
     block_q: int = 512,
     block_kv: int = 512,
     interpret: bool = False,
+    position_bias: jax.Array | None = None,
+    gate: jax.Array | None = None,
 ) -> jax.Array:
-    """softmax(q k^T / sqrt(d)) v with an optional prefix key mask.
+    """softmax(q k^T / sqrt(d) + gate ⊙ position_bias) v with an optional
+    prefix key mask.
 
     q, k, v: (B, H, T, D); n_valid: (B,) int32 valid key counts (None = all
-    T keys valid). Returns (B, H, T, D) in q's dtype; rows t >= n_valid[b]
-    attend over the same valid prefix (finite values, masked downstream by
-    the frame mask like the XLA path).
+    T keys valid). position_bias: (H, T, T) and gate: (B, H, T) — the
+    factorized additive bias ``gate[b,h,tq] * position_bias[h,tq,tk]``
+    (WavLM's gated relative position bias); pass both or neither. Returns
+    (B, H, T, D) in q's dtype; rows t >= n_valid[b] attend over the same
+    valid prefix (finite values, masked downstream by the frame mask like
+    the XLA path).
     """
     b, h, t, d = q.shape
     if n_valid is None:
         nv = jnp.full((b,), t, jnp.int32)
     else:
         nv = jnp.maximum(n_valid.astype(jnp.int32), 1)
+    assert (position_bias is None) == (gate is None), "pass both bias parts or neither"
 
     # Clamp blocks for short sequences (defaults are tuned for the 10 s
     # speech bucket, T_pad=512: bq=bk=512 measured 7.5 ms vs XLA's 13.0 ms
@@ -142,14 +167,35 @@ def flash_attention(
     kf = k.reshape(b * h, tp, d)
     vf = v.reshape(b * h, tp, d)
 
+    in_specs = [
+        pl.BlockSpec((1, block_q, d), lambda bh, qi, ki, nv: (bh, qi, 0)),
+        pl.BlockSpec((1, block_kv, d), lambda bh, qi, ki, nv: (bh, ki, 0)),
+        pl.BlockSpec((1, block_kv, d), lambda bh, qi, ki, nv: (bh, ki, 0)),
+    ]
+    operands = [nv, qf, kf, vf]
+    kernel = _kernel
+    if position_bias is not None:
+        # (H, T, T) pads to the block grid; padded keys are masked by nv and
+        # padded query rows are sliced off below. The (B, H, T) gate reshapes
+        # to (B*H, T_pad, 1) so its block is a VMEM-friendly (BQ, 1) column.
+        pbf = jnp.pad(
+            position_bias.astype(jnp.float32),
+            ((0, 0), (0, tp - position_bias.shape[1]), (0, tp - position_bias.shape[2])),
+        )
+        gf = jnp.pad(
+            gate.astype(jnp.float32), ((0, 0), (0, 0), (0, tp - gate.shape[2]))
+        ).reshape(b * h, tp, 1)
+        in_specs += [
+            pl.BlockSpec((1, block_q, block_kv), lambda bh, qi, ki, nv: (bh % h, qi, ki)),
+            pl.BlockSpec((1, block_q, 1), lambda bh, qi, ki, nv: (bh, qi, 0)),
+        ]
+        operands += [pbf, gf]
+        kernel = _kernel_bias
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b * h, tp // block_q, tp // block_kv),
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda bh, qi, ki, nv: (bh, qi, 0)),
-            pl.BlockSpec((1, block_kv, d), lambda bh, qi, ki, nv: (bh, ki, 0)),
-            pl.BlockSpec((1, block_kv, d), lambda bh, qi, ki, nv: (bh, ki, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, block_q, d), lambda bh, qi, ki, nv: (bh, qi, 0)),
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),
@@ -158,11 +204,11 @@ def flash_attention(
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, h=h),
+        functools.partial(kernel, h=h),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b * h, tp, d), q.dtype),
         interpret=interpret,
-    )(nv, qf, kf, vf)
+    )(*operands)
     return out.reshape(b, h, tp, d)[:, :, :t, :]
 
 

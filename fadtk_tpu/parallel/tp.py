@@ -90,17 +90,7 @@ def _tp_attention(cfg, p, x, key_bias, position_bias, tp_axis, frame_valid=None)
         b, s, _ = t.shape
         return t.reshape(b, s, local_heads, cfg.head_dim).transpose(0, 2, 1, 3)
 
-    if cfg.attention_type != "wavlm" and enc.use_flash_attention(x.dtype, frame_valid):
-        from ..ops.flash_attention import flash_attention
-
-        o = flash_attention(split(q), split(k), split(v), frame_valid)
-        b, h, t, d = o.shape
-        out = o.transpose(0, 2, 1, 3).reshape(b, t, h * d)
-        out = out @ p["out_proj"]["kernel"]
-        out = jax.lax.psum(out, tp_axis)
-        return out + p["out_proj"]["bias"]
-
-    bias = key_bias
+    gate = None
     if cfg.attention_type == "wavlm":
         # Per-head gate from the *unprojected* hidden states: slice this
         # device's heads out of the replicated activations.
@@ -113,6 +103,25 @@ def _tp_attention(cfg, p, x, key_bias, position_bias, tp_axis, frame_valid=None)
         proj = proj.reshape(b, local_heads, t, 2, 4).sum(-1)
         gates = jax.nn.sigmoid(proj)
         gate = gates[..., 0] * (gates[..., 1] * p["gru_rel_pos_const"].reshape(1, -1, 1) - 1.0) + 2.0
+
+    if enc.use_flash_attention(x.dtype, frame_valid):
+        from ..ops.flash_attention import flash_attention
+
+        # WavLM's bias streams factorized: local-head gate x local-head
+        # position-bias slice (shard-local shapes match the kernel contract).
+        o = flash_attention(
+            split(q), split(k), split(v), frame_valid,
+            position_bias=None if gate is None else position_bias.astype(jnp.float32),
+            gate=None if gate is None else gate.astype(jnp.float32),
+        )
+        b, h, t, d = o.shape
+        out = o.transpose(0, 2, 1, 3).reshape(b, t, h * d)
+        out = out @ p["out_proj"]["kernel"]
+        out = jax.lax.psum(out, tp_axis)
+        return out + p["out_proj"]["bias"]
+
+    bias = key_bias
+    if gate is not None:
         bias = bias + gate[..., None] * position_bias[None]
 
     out = enc._attention_core(split(q), split(k), split(v), bias)

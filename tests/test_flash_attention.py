@@ -2,9 +2,10 @@
 CPU test mesh; the compiled kernel is exercised on real TPU by bench.py).
 
 The kernel replaces the XLA path in the speech encoders and the Whisper
-encoder (fadtk_tpu/ops/flash_attention.py); WavLM's dense gated position bias
-keeps the XLA path. Tolerances are float32-roundoff: the online softmax
-reorders the reduction."""
+encoder (fadtk_tpu/ops/flash_attention.py); WavLM's gated relative position
+bias streams through the kernel factorized (gate ⊙ position_bias), never
+materializing the dense (B, H, T, T) term. Tolerances are float32-roundoff:
+the online softmax reorders the reduction."""
 
 import numpy as np
 import pytest
@@ -78,6 +79,111 @@ def test_padded_batch_matches_unpadded():
     np.testing.assert_allclose(
         np.asarray(padded[:, :, :t_short]), np.asarray(alone), atol=3e-6
     )
+
+
+def _ref_biased(q, k, v, nv, pb, gate):
+    """XLA wavlm_attention core: logits + gate[..., None] * pb + key mask."""
+    scale = q.shape[-1] ** -0.5
+    s = jnp.einsum("bhtd,bhsd->bhts", q * scale, k).astype(jnp.float32)
+    s = s + gate[..., None] * pb[None]
+    mask = jnp.arange(q.shape[2])[None, :] < nv[:, None]
+    s = jnp.where(mask[:, None, None, :], s, -jnp.inf)
+    w = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhts,bhsd->bhtd", w, v)
+
+
+@pytest.mark.parametrize("b,h,t,d", [(2, 3, 499, 64), (1, 2, 130, 32)])
+def test_factorized_bias_matches_wavlm_core(b, h, t, d):
+    rng = np.random.default_rng(4)
+    q = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+    pb = jnp.asarray(rng.standard_normal((h, t, t)), jnp.float32)
+    gate = jnp.asarray(rng.uniform(1.0, 3.0, (b, h, t)), jnp.float32)
+    nv = jnp.asarray(rng.integers(1, t + 1, size=b), jnp.int32)
+
+    out = flash_attention(q, k, v, nv, interpret=True, position_bias=pb, gate=gate)
+    ref = _ref_biased(q, k, v, nv, pb, gate)
+    for bi in range(b):
+        n = int(nv[bi])
+        np.testing.assert_allclose(
+            np.asarray(out[bi, :, :n]), np.asarray(ref[bi, :, :n]), atol=5e-6
+        )
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_factorized_bias_bf16():
+    rng = np.random.default_rng(5)
+    b, h, t, d = 2, 2, 256, 64
+    q = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.bfloat16)
+    pb = jnp.asarray(rng.standard_normal((h, t, t)), jnp.float32)
+    gate = jnp.asarray(rng.uniform(1.0, 3.0, (b, h, t)), jnp.float32)
+    nv = jnp.asarray([256, 90], jnp.int32)
+
+    out = flash_attention(q, k, v, nv, interpret=True, position_bias=pb, gate=gate)
+    assert out.dtype == jnp.bfloat16
+    ref = _ref_biased(
+        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
+        nv, pb, gate,
+    )
+    for bi in range(b):
+        n = int(nv[bi])
+        np.testing.assert_allclose(
+            np.asarray(out[bi, :, :n], np.float32), np.asarray(ref[bi, :, :n]),
+            atol=0.03,
+        )
+
+
+def test_wavlm_attention_flash_equals_xla(monkeypatch):
+    """Model-level: wavlm_attention with the kernel forced on (interpret via
+    monkeypatched flash_attention) == the XLA gated-bias path."""
+    import importlib
+
+    import fadtk_tpu.models.speech.encoder as enc
+
+    fa = importlib.import_module("fadtk_tpu.ops.flash_attention")
+    from fadtk_tpu.models.speech.config import SpeechEncoderConfig
+    from fadtk_tpu.models.speech.encoder import (
+        init_speech_encoder_params,
+        wavlm_attention,
+        wavlm_position_bias,
+    )
+
+    cfg = SpeechEncoderConfig(attention_type="wavlm", num_buckets=320,
+                              max_bucket_distance=800)
+    params = init_speech_encoder_params(cfg, jax.random.PRNGKey(0))
+    p = params["encoder"]["layers"][0]["attention"]
+
+    rng = np.random.default_rng(6)
+    b, t = 2, 120
+    x = jnp.asarray(rng.standard_normal((b, t, cfg.hidden_size)), jnp.float32) * 0.1
+    nv = jnp.asarray([t, 70], jnp.int32)
+    mask = (jnp.arange(t)[None, :] < nv[:, None]).astype(jnp.float32)
+    key_bias = (1.0 - mask)[:, None, None, :] * jnp.finfo(jnp.float32).min
+    pb = wavlm_position_bias(cfg, p["rel_attn_embed"], t)
+
+    ref = wavlm_attention(cfg, p, x, key_bias, pb, frame_valid=None)  # XLA path
+
+    monkeypatch.setenv("FADTK_TPU_FLASH_ATTENTION", "1")
+    real = fa.flash_attention
+    monkeypatch.setattr(
+        fa, "flash_attention",
+        lambda *a, **kw: real(*a, **{**kw, "interpret": True}),
+    )
+    out = wavlm_attention(cfg, p, x, key_bias, pb, frame_valid=nv)
+    assert enc.use_flash_attention(x.dtype, nv) is False  # f32 stays XLA
+    # Force the kernel by calling with bf16 inputs.
+    xb = x.astype(jnp.bfloat16)
+    out_bf = wavlm_attention(cfg, p, xb, key_bias, pb, frame_valid=nv)
+    for bi in range(b):
+        n = int(nv[bi])
+        np.testing.assert_allclose(
+            np.asarray(out_bf[bi, :n], np.float32), np.asarray(ref[bi, :n]),
+            atol=0.05,
+        )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
 
 
 def test_bfloat16_path():
