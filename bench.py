@@ -172,6 +172,31 @@ def _family_cases():
             "roundtrips); f32 stays on XLA for HF parity"
         )
 
+    def wavlm(dtype):
+        from fadtk_tpu.models.speech.config import SpeechEncoderConfig
+        from fadtk_tpu.models.speech.encoder import (
+            init_speech_encoder_params,
+            speech_encoder_forward,
+        )
+
+        cfg = SpeechEncoderConfig(attention_type="wavlm", do_normalize=False)
+        params = cast(init_speech_encoder_params(cfg, jax.random.PRNGKey(0)), dtype)
+        b, sec = 64, 10
+
+        def fwd(p, audio, nv):
+            states, mask = speech_encoder_forward(
+                cfg, p, audio.astype(dtype), nv, taps=(cfg.num_layers,)
+            )
+            return states[0].astype(jnp.float32).sum()
+
+        audio = jnp.asarray(rng.standard_normal((b, sec * SR)), jnp.float32) * 0.1
+        nv = jnp.full((b,), sec * SR, jnp.int32)
+        return fwd, params, (audio, nv), b * sec, (
+            "gated relative position bias; bf16 streams it factorized "
+            "(gate x (H,T,T) bias blocks) through the fused flash kernel - "
+            "the XLA path materializes the (B,H,T,T) gated bias in HBM"
+        )
+
     def vggish(dtype):
         from fadtk_tpu.models.vggish import init_vggish_params, vggish_forward
 
@@ -304,6 +329,7 @@ def _family_cases():
 
     return {
         "w2v2-base": speech,
+        "wavlm-base": wavlm,
         "vggish": vggish,
         "encodec-emb": encodec,
         "clap-laion-audio": clap,

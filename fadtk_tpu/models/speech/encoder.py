@@ -24,12 +24,24 @@ TPU-first design decisions:
 from __future__ import annotations
 
 import math
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .config import SpeechEncoderConfig
+
+
+def scan_layers_enabled() -> bool:
+    """Opt-in `lax.scan` over the homogeneous encoder layers
+    (FADTK_TPU_SCAN_LAYERS=1): compiles ~1.7x faster for 24-layer models
+    (40.7 s -> 24.1 s measured on v5e) with identical steady-state runtime.
+    Off by default: the scan's different fusion boundaries reorder f32
+    accumulation (~1e-2 after 24 layers on the TPU's 3-pass f32 matmuls),
+    so the unrolled loop stays the parity path (ARCHITECTURE.md
+    'Compile-time notes')."""
+    return os.environ.get("FADTK_TPU_SCAN_LAYERS", "") == "1"
 
 
 def _gelu(x):
@@ -369,10 +381,38 @@ def speech_encoder_forward(
     if 0 in wanted:
         collected[0] = x
     last_idx = cfg.num_layers
-    for i, p in enumerate(enc["layers"][: max(wanted)], start=1):
-        x = encoder_layer(cfg, p, x, key_bias, position_bias, frame_valid)
-        if i in wanted:
-            collected[i] = x
+    n_run = max(wanted)
+    if scan_layers_enabled() and n_run > 0:
+        layers = enc["layers"][:n_run]
+        if cfg.attention_type == "wavlm":
+            # The layer-0-only relative bias table (already consumed by
+            # position_bias above) breaks pytree homogeneity — drop it so the
+            # layers stack for scan.
+            layers = [
+                {**l, "attention": {k: v for k, v in l["attention"].items()
+                                    if k != "rel_attn_embed"}}
+                for l in layers
+            ]
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+
+        def body(carry, p):
+            y = encoder_layer(cfg, p, carry, key_bias, position_bias, frame_valid)
+            return y, y
+
+        if any(0 < i < n_run for i in wanted):
+            x, ys = jax.lax.scan(body, x, stacked)  # ys: (n_run, B, T, H)
+            for i in wanted:
+                if i > 0:
+                    collected[i] = ys[i - 1]
+        else:
+            # Single-tap throughput path: carry only — no (L, B, T, H) stack.
+            x, _ = jax.lax.scan(lambda c, p: (body(c, p)[0], None), x, stacked)
+            collected[n_run] = x
+    else:
+        for i, p in enumerate(enc["layers"][:n_run], start=1):
+            x = encoder_layer(cfg, p, x, key_bias, position_bias, frame_valid)
+            if i in wanted:
+                collected[i] = x
 
     if cfg.do_stable_layer_norm and last_idx in collected:
         collected[last_idx] = _layer_norm(
