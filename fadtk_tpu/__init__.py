@@ -20,8 +20,27 @@ Public API mirrors the reference facade (reference fadtk/__init__.py:1-3).
 from .metric.frechet import frechet_distance, calc_frechet_distance
 from .metric.stats import calc_embd_statistics, calculate_embd_statistics_online
 from .runner.fad import FrechetAudioDistance, FADInfResults
-from .models.registry import get_all_models
-from .utils import get_cache_embedding_path
+from .runner.batch import cache_embedding_files, cache_embedding_files_multi
+from .models.base import EmbeddingModel
+from .models.registry import get_all_models, get_model
+from .models.cdpam import CdpamModel
+from .models.clap_laion import CLAPLaionModel
+from .models.clap_ms import MSCLAPModel
+from .models.dac import DACModel
+from .models.encodec import EncodecEmbModel
+from .models.hubert import HuBERTModel
+from .models.mert import MERTModel
+from .models.vggish import VGGishModel
+from .models.wav2vec2 import W2V2Model
+from .models.wavlm import WavLMModel
+from .models.whisper import WhisperModel
+from .utils import get_cache_embedding_path, find_sox_formats
+
+# Reference-name compatibility (reference fadtk/__init__.py star-exports its
+# whole surface): the reference's ABC is `ModelLoader` (model_loader.py:21)
+# and its msclap wrapper is `CLAPModel` (model_loader.py:463).
+ModelLoader = EmbeddingModel
+CLAPModel = MSCLAPModel
 
 __version__ = "0.1.0"
 
@@ -32,7 +51,25 @@ __all__ = [
     "calculate_embd_statistics_online",
     "FrechetAudioDistance",
     "FADInfResults",
+    "cache_embedding_files",
+    "cache_embedding_files_multi",
+    "EmbeddingModel",
+    "ModelLoader",
     "get_all_models",
+    "get_model",
+    "CdpamModel",
+    "CLAPLaionModel",
+    "MSCLAPModel",
+    "CLAPModel",
+    "DACModel",
+    "EncodecEmbModel",
+    "HuBERTModel",
+    "MERTModel",
+    "VGGishModel",
+    "W2V2Model",
+    "WavLMModel",
+    "WhisperModel",
     "get_cache_embedding_path",
+    "find_sox_formats",
     "__version__",
 ]
