@@ -339,11 +339,49 @@ def _family_cases():
     }
 
 
+def measure_matmul_roofline(dtypes=("float32", "bfloat16"), m=4096, n=20) -> dict:
+    """Measured achievable GEMM rate (TF/s) per dtype on THIS device.
+
+    Nominal peaks overstate what a tunneled/shared bench chip can actually
+    deliver: on the round-2 bench host every dtype (f32, bf16, even int8)
+    capped at ~66 TF/s — exactly the 3-pass-f32 rate — so ``mfu_pct`` against
+    the 197 TF/s nominal bf16 peak underestimates how close a family runs to
+    the machine's real ceiling. Each family entry therefore also reports
+    ``pct_of_measured_roofline`` against the dtype-matched number measured
+    here (same honest fetch-synced timing as the family loop)."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    out = {}
+    for dtype_name in dtypes:
+        dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+        a = jnp.asarray(rng.standard_normal((m, m)), dtype)
+        b = jnp.asarray(rng.standard_normal((m, m)), dtype)
+
+        @jax.jit
+        def chain(a, b):
+            x = a
+            for _ in range(n):
+                x = (x @ b) * (1.0 / m)
+            return x.astype(jnp.float32).sum()
+
+        float(chain(a, b))  # compile + warm
+        best = min(_timed(lambda: float(chain(a, b))) for _ in range(3))
+        out[dtype_name] = round(2 * m * m * m * n / best / 1e12, 1)
+    return out
+
+
 def bench_families(dtypes=("float32", "bfloat16")) -> dict:
     """Throughput (window-audio-sec/sec/chip) + MFU for every major family.
 
     MFU = XLA's own cost_analysis flops x calls/sec / chip peak. Written to
     .bench_cache/families.json and folded into the headline JSON line.
+
+    Caveat: cost_analysis overcounts conv flops by up to ~1.6x (vggish: XLA
+    reports 405 GF/call where the closed-form conv+FC count is ~255 GF, which
+    is why its pct_of_measured_roofline can exceed 100). Conv-family MFU is
+    therefore an upper bound; GEMM-stack families (speech/whisper) are exact.
     """
     import jax
     import jax.numpy as jnp
@@ -351,12 +389,20 @@ def bench_families(dtypes=("float32", "bfloat16")) -> dict:
     peak = _CHIP_PEAK_FLOPS.get(jax.devices()[0].device_kind)
     peak = float(os.environ.get("FADTK_BENCH_PEAK_FLOPS", peak or 197e12))
 
+    try:
+        measured_tf = measure_matmul_roofline(dtypes)
+    except Exception as e:
+        measured_tf = {}
+        print(f"# matmul roofline probe failed: {e}", flush=True)
+
     # Remote XLA compiles can take minutes each when the persistent cache is
     # cold; bound the sweep so the driver's round-end bench always finishes.
     budget_s = float(os.environ.get("FADTK_BENCH_BUDGET_S", "1500"))
     sweep_start = time.perf_counter()
 
     results: dict = {"device_kind": jax.devices()[0].device_kind, "peak_flops": peak}
+    if measured_tf:
+        results["measured_matmul_tf"] = measured_tf
     for name, build in _family_cases().items():
         results[name] = {}
         for dtype_name in dtypes:
@@ -389,7 +435,15 @@ def bench_families(dtypes=("float32", "bfloat16")) -> dict:
                     _timed(lambda: float(trivial(zero))) for _ in range(5)
                 )
 
-                iters, windows = 8, 3
+                # Adaptive chain length: for fast families (vggish ~3 ms,
+                # cdpam ~2 ms) an 8-call chain is the same magnitude as the
+                # ~30 ms tunnel RTT being subtracted — the quotient is noise
+                # (round-1 sweeps reported vggish bf16 above the measured
+                # matmul roofline, physically impossible). Size the chain so
+                # it dwarfs the RTT.
+                est = max(_timed(lambda: float(jstep(params, zero, *inputs))) - rtt, 1e-4)
+                iters = int(min(max(8, 0.5 / est), 256))
+                windows = 3
                 best = float("inf")
                 for _ in range(windows):
                     acc = zero
@@ -405,6 +459,10 @@ def bench_families(dtypes=("float32", "bfloat16")) -> dict:
                     "gflops_per_call": round(flops / 1e9, 2),
                     "ms_per_call": round(per_call * 1000, 2),
                 }
+                if measured_tf.get(dtype_name):
+                    entry["pct_of_measured_roofline"] = round(
+                        100.0 * flops / per_call / (measured_tf[dtype_name] * 1e12), 2
+                    )
                 if note:
                     entry["note"] = note
                 results[name][dtype_name] = entry
