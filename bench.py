@@ -263,9 +263,12 @@ def _family_cases():
             "window-sec; the pipeline's 1 s hop re-reads each second ~10x "
             "(reference chunking semantics), so effective audio-sec = /10. "
             "Was 7% MFU before the framed-GEMM mel frontend (the patch-"
-            "materialized STFT cost as much as the whole Swin tower); the "
-            "residual gap is Swin itself: 64-token window GEMMs with 32-wide "
-            "heads plus flop-free roll/partition data movement"
+            "materialized STFT cost as much as the whole Swin tower). "
+            "Ablation (round 2): replacing window attention AND its "
+            "roll/partition layout with identity leaves the time unchanged "
+            "(7.11 vs 7.14 ms) - the residual gap is the narrow-channel "
+            "(96-768) MLP/projection GEMMs underfilling 128-wide MXU tiles, "
+            "an architectural width limit, not attention or data movement"
         )
 
     def whisper(dtype):
