@@ -106,6 +106,23 @@ def _attention(p, x, kv, num_heads, causal=False):
     return out @ p["out_proj"]["kernel"] + p["out_proj"]["bias"]
 
 
+def _run_layers(layers, apply, x):
+    """Unrolled layer loop, or `lax.scan` over the stacked homogeneous layers
+    under FADTK_TPU_SCAN_LAYERS=1 (same opt-in compile-time mode as the
+    speech encoder — whisper-large has 32+32 layers, the biggest unrolled
+    trace in the zoo; scan reorders f32 accumulation, so the unrolled loop
+    stays the parity default)."""
+    from .speech.encoder import scan_layers_enabled
+
+    if scan_layers_enabled() and len(layers) > 1:
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+        x, _ = jax.lax.scan(lambda c, p: (apply(p, c), None), x, stacked)
+        return x
+    for p in layers:
+        x = apply(p, x)
+    return x
+
+
 def _encoder_layer(cfg, p, x):
     r = x
     x = _ln(x, p["self_attn_layer_norm"], cfg.layer_norm_eps)
@@ -135,8 +152,7 @@ def whisper_encode(cfg: WhisperConfig, params, input_features: jax.Array) -> jax
         ) + enc["conv2"]["bias"]
     )
     x = x + enc["embed_positions"][None, : x.shape[1]]
-    for p in enc["layers"]:
-        x = _encoder_layer(cfg, p, x)
+    x = _run_layers(enc["layers"], lambda p, c: _encoder_layer(cfg, p, c), x)
     return _ln(x, enc["layer_norm"], cfg.layer_norm_eps)
 
 
@@ -158,8 +174,9 @@ def whisper_decode(cfg: WhisperConfig, params, token_ids: jax.Array, enc_states:
     dec = params["decoder"]
     x = jnp.take(dec["embed_tokens"], token_ids, axis=0)
     x = x + dec["embed_positions"][None, : token_ids.shape[1]]
-    for p in dec["layers"]:
-        x = _decoder_layer(cfg, p, x, enc_states)
+    x = _run_layers(
+        dec["layers"], lambda p, c: _decoder_layer(cfg, p, c, enc_states), x
+    )
     return _ln(x, dec["layer_norm"], cfg.layer_norm_eps)
 
 

@@ -57,6 +57,35 @@ def test_scan_matches_unrolled(attention_type, taps_kind, monkeypatch):
     )
 
 
+def test_whisper_scan_matches_unrolled(monkeypatch):
+    """Same flag drives the Whisper encoder+decoder stacks (whisper_impl
+    _run_layers): scan == unrolled to f32-reorder roundoff."""
+    from fadtk_tpu.models.whisper_impl import (
+        WhisperConfig,
+        init_whisper_params,
+        whisper_forward,
+    )
+
+    cfg = WhisperConfig(
+        d_model=64, encoder_layers=3, encoder_heads=4, decoder_layers=3,
+        decoder_heads=4, encoder_ffn=128, decoder_ffn=128, num_mel_bins=16,
+        max_source_positions=32, max_target_positions=8, vocab_size=64,
+        decoder_start_token_id=7,
+    )
+    params = init_whisper_params(cfg, jax.random.PRNGKey(0))
+    feats = jnp.asarray(
+        np.random.default_rng(2).standard_normal((2, 16, 64)), jnp.float32
+    ) * 0.3
+
+    monkeypatch.delenv("FADTK_TPU_SCAN_LAYERS", raising=False)
+    ref = np.asarray(whisper_forward(cfg, params, feats))
+    monkeypatch.setenv("FADTK_TPU_SCAN_LAYERS", "1")
+    out = np.asarray(whisper_forward(cfg, params, feats))
+
+    assert out.shape == ref.shape == (2, 2, cfg.d_model)
+    np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+
+
 def test_scan_single_tap_avoids_stack(monkeypatch):
     """The single-tap scan path returns the carry (no (L, B, T, H) ys stack):
     shape contract matches the unrolled single-tap output."""
