@@ -105,7 +105,11 @@ def framed_basis_matmul(
     nf = 1 + (t - window) // hop
     q, r = divmod(window, hop)
     n_blocks = nf + q - (0 if r else 1)
-    x = jnp.pad(x, ((0, 0), (0, n_blocks * hop - t)))
+    # n_blocks*hop always covers the last VALID frame's span but can be
+    # SHORTER than t when t leaves a tail no frame reaches — pad or trim to
+    # exactly n_blocks*hop (tail samples are unused by valid frames either
+    # way; a negative pad width would raise).
+    x = jnp.pad(x[:, : n_blocks * hop], ((0, 0), (0, max(0, n_blocks * hop - t))))
     blocks = x.reshape(b, n_blocks, hop)
     out = blocks[:, 0:nf] @ basis[:hop]
     for j in range(1, q):

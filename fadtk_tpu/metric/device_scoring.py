@@ -122,9 +122,12 @@ def _per_song_batch(mu1, s1, tr1, frames, masks):
 
     Per-song covariances are singular whenever a song has fewer frames than
     dims (Whisper: 2 frames), so Tr sqrt comes from the exact nonzero
-    spectrum via the (L, L) Gram of W = centered_frames @ s1 / sqrt(n-1):
-    spec+(W Wt) == spec+(s1 C2 s1). Masked rows are exact zero rows of W and
-    clip away. Also avoids materializing the (D, D) covariance at all."""
+    spectrum of W = centered_frames @ s1 / sqrt(n-1): spec+(W Wt) ==
+    spec+(Wt W) == spec+(s1 C2 s1). The Gram side is chosen statically per
+    pad bucket — (L, L) when L <= D, else the (D, D) product — so
+    frame-dense families (encodec at 75 Hz: minutes of audio = 10k+ frames)
+    never materialize an (L, L) matrix (a (B, 13k, 13k) f32 batch would OOM
+    the chip). Masked rows are exact zero rows of W and clip away."""
 
     def one(song_frames, mask):
         song_frames = song_frames.astype(jnp.float32)
@@ -132,7 +135,7 @@ def _per_song_batch(mu1, s1, tr1, frames, masks):
         mu2 = (song_frames * mask[:, None]).sum(0) / jnp.maximum(n, 1.0)
         xc = (song_frames - mu2) * mask[:, None]
         w = (xc @ s1) / jnp.sqrt(jnp.maximum(n - 1.0, 1.0))
-        gram = w @ w.T
+        gram = w @ w.T if w.shape[0] <= w.shape[1] else w.T @ w
         ev = jnp.linalg.eigvalsh((gram + gram.T) * 0.5)
         tr_sqrt = jnp.sum(jnp.sqrt(jnp.clip(ev, 0.0, None)))
         tr_cov2 = jnp.sum(xc * xc) / jnp.maximum(n - 1.0, 1.0)

@@ -34,8 +34,19 @@ BUCKET_SECONDS = 10
 
 
 @lru_cache(maxsize=64)
-def _jitted_forward(cfg: SpeechEncoderConfig, taps: tuple | None = None):
+def _jitted_forward(
+    cfg: SpeechEncoderConfig, taps: tuple | None = None, scan: bool = False
+):
+    # `scan` (FADTK_TPU_SCAN_LAYERS at call time) is part of the cache key:
+    # the forward reads the flag at TRACE time, so without it a mid-process
+    # flag flip would silently reuse executables traced under the old mode.
     return jax.jit(partial(speech_encoder_forward, cfg, taps=taps))
+
+
+def _scan_flag() -> bool:
+    from .encoder import scan_layers_enabled
+
+    return scan_layers_enabled()
 
 
 class SpeechEmbeddingModel(EmbeddingModel):
@@ -105,7 +116,7 @@ class SpeechEmbeddingModel(EmbeddingModel):
         padded = np.zeros(bucket, np.float32)
         padded[:n] = audio.astype(np.float32)
 
-        states, mask = _jitted_forward(self.cfg, (self.layer,))(
+        states, mask = _jitted_forward(self.cfg, (self.layer,), _scan_flag())(
             self.params, padded[None], np.asarray([n], np.int32)
         )
         n_frames = int(np.asarray(mask[0]).sum())
@@ -142,7 +153,7 @@ class SpeechEmbeddingModel(EmbeddingModel):
         for bucket, i, clip in prepared:
             groups[bucket].append((i, clip))
 
-        fwd = _jitted_forward(self.cfg, (self.layer,))
+        fwd = _jitted_forward(self.cfg, (self.layer,), _scan_flag())
         for bucket, items in groups.items():
             for g in range(0, len(items), self.MAX_BATCH):
                 chunk = items[g : g + self.MAX_BATCH]
@@ -174,7 +185,7 @@ class SpeechEmbeddingModel(EmbeddingModel):
         bucket = next_multiple(max(n, 1), BUCKET_SECONDS * self.sr)
         padded = np.zeros(bucket, np.float32)
         padded[:n] = audio.astype(np.float32)
-        states, mask = _jitted_forward(self.cfg)(
+        states, mask = _jitted_forward(self.cfg, None, _scan_flag())(
             self.params, padded[None], np.asarray([n], np.int32)
         )
         n_frames = int(np.asarray(mask[0]).sum())

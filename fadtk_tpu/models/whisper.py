@@ -27,8 +27,17 @@ from .whisper_impl import (
 
 
 @lru_cache(maxsize=8)
-def _jitted(cfg: WhisperConfig):
+def _jitted(cfg: WhisperConfig, scan: bool = False):
+    # `scan` keys the cache so a FADTK_TPU_SCAN_LAYERS flip mid-process
+    # cannot reuse an executable traced under the other mode (the forward
+    # reads the flag at trace time).
     return jax.jit(partial(whisper_forward, cfg))
+
+
+def _scan_flag() -> bool:
+    from .speech.encoder import scan_layers_enabled
+
+    return scan_layers_enabled()
 
 
 class WhisperModel(EmbeddingModel):
@@ -79,7 +88,7 @@ class WhisperModel(EmbeddingModel):
 
     def _forward_clips(self, clips: np.ndarray) -> np.ndarray:
         features = whisper_log_mel(jnp.asarray(clips))  # (B, 80, 3000)
-        return _jitted(self.cfg)(self.params, features)  # (B, 2, d)
+        return _jitted(self.cfg, _scan_flag())(self.params, features)  # (B, 2, d)
 
     def _embed(self, audio: np.ndarray) -> np.ndarray:
         return np.asarray(self._forward_clips(self._make_chunks(audio))[0])

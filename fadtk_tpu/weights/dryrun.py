@@ -102,7 +102,7 @@ def dump_schema(checkpoint: str, out_path: str) -> None:
     log.info(f"Wrote {len(shapes)} key shapes to {out_path}")
 
 
-def _tree_shapes(tree, prefix=""):
+def _tree_shapes(tree):
     from .store import flatten_pytree
 
     return {k: v.shape for k, v in flatten_pytree(tree).items()}
@@ -218,12 +218,22 @@ def dry_run_model(name: str, schema_path: str) -> None:
             k = k.removeprefix("module.")
             return k.startswith("audio_encoder.") and "spectrogram" not in k
 
-        # Reference shapes: the model's random-weight init pytree.
+        # Reference shapes: the model's random-weight init pytree. Restore the
+        # env var afterwards — leaving it set would silently flip the whole
+        # process into random-weights mode (load_model would stop raising
+        # MissingWeightsError for unconverted checkpoints).
         import os
 
+        saved = os.environ.get("FADTK_TPU_RANDOM_WEIGHTS")
         os.environ["FADTK_TPU_RANDOM_WEIGHTS"] = "1"
-        ref = get_model(name)
-        ref.load_model()
+        try:
+            ref = get_model(name)
+            ref.load_model()
+        finally:
+            if saved is None:
+                del os.environ["FADTK_TPU_RANDOM_WEIGHTS"]
+            else:
+                os.environ["FADTK_TPU_RANDOM_WEIGHTS"] = saved
         dry_run_convert(
             name,
             schema,

@@ -159,3 +159,24 @@ def test_dump_schema_cli_format(tmp_path):
     dump_schema(str(ckpt), str(out))
     schema = load_schema(out)
     assert schema == {"encoder.w": (3, 4)}
+
+
+def test_dryrun_restores_random_weights_env(monkeypatch, tmp_path):
+    """dry_run_model('clap-2023') builds its reference pytree under
+    FADTK_TPU_RANDOM_WEIGHTS=1 but must restore the caller's value — leaving
+    it set would flip the whole process into random-weights mode."""
+    import fadtk_tpu.weights.dryrun as dr
+
+    sd_path = tmp_path / "msclap_sd.json"
+    import json
+
+    monkeypatch.delenv("FADTK_TPU_RANDOM_WEIGHTS", raising=False)
+    # An empty inventory is enough: the env set/restore happens while building
+    # the reference pytree, before the key-coverage verdict.
+    sd_path.write_text(json.dumps({}))
+
+    try:
+        dr.dry_run_model("clap-2023", str(sd_path))
+    except BaseException as e:  # noqa: BLE001 - verdict not under test
+        assert not isinstance(e, KeyboardInterrupt)
+    assert os.environ.get("FADTK_TPU_RANDOM_WEIGHTS") is None

@@ -141,3 +141,31 @@ def test_fad_inf_device_subsamples_below_dim():
     sub = embeds[:16].astype(np.float64)
     host = frechet_distance(mu1, cov1, *calc_embd_statistics(sub), method="eigh")
     assert host > 0 and np.isfinite(host)
+
+
+def test_per_song_frame_dense_uses_dxd_gram():
+    """Songs with more frames than dims (encodec: 75 Hz for minutes) must not
+    build an (L, L) Gram — the trace picks the (D, D) side when L > D and
+    both sides give the same score (spec+(W Wt) == spec+(Wt W))."""
+    from fadtk_tpu.metric.device_scoring import PerSongScorer
+
+    rng = np.random.default_rng(5)
+    d = 16
+    base = _gaussian_frames(rng, 800, d)
+    mu1, cov1 = calc_embd_statistics(base.astype(np.float64))
+    scorer = PerSongScorer(mu1, cov1, batch_size=2, len_bucket=64)
+
+    short = [_gaussian_frames(rng, 12, d, shift=0.3) for _ in range(2)]  # L < D
+    dense = [np.tile(s, (12, 1)) for s in short]  # L = 144 > D, same Gaussian-ish
+
+    s_short = scorer.score_batch(short)
+    s_dense = scorer.score_batch(dense)
+    assert np.isfinite(s_short).all() and np.isfinite(s_dense).all()
+
+    # Cross-check the dense path against the host per-song formula.
+    from fadtk_tpu.metric.frechet import frechet_distance
+
+    for s, song in zip(s_dense, dense):
+        mu2, cov2 = calc_embd_statistics(song.astype(np.float64))
+        host = frechet_distance(mu1, cov1, mu2, cov2)
+        np.testing.assert_allclose(s, host, rtol=2e-3, atol=2e-3)

@@ -99,3 +99,26 @@ def test_scan_single_tap_avoids_stack(monkeypatch):
         cfg, params, audio, jnp.asarray([16000], jnp.int32), taps=(cfg.num_layers,)
     )
     assert states.shape[0] == 1 and states.shape[-1] == cfg.hidden_size
+
+
+def test_flag_flip_retraces(monkeypatch):
+    """FADTK_TPU_SCAN_LAYERS is read at trace time, so the family-level jit
+    caches key on it — flipping the flag mid-process must not silently reuse
+    an executable traced under the other mode."""
+    from fadtk_tpu.models.speech import family as fam
+
+    cfg = SpeechEncoderConfig(do_normalize=False)
+    monkeypatch.delenv("FADTK_TPU_SCAN_LAYERS", raising=False)
+    f_off = fam._jitted_forward(cfg, (cfg.num_layers,), fam._scan_flag())
+    monkeypatch.setenv("FADTK_TPU_SCAN_LAYERS", "1")
+    f_on = fam._jitted_forward(cfg, (cfg.num_layers,), fam._scan_flag())
+    assert f_off is not f_on
+
+    from fadtk_tpu.models import whisper as wmod
+
+    wcfg = wmod.config_for_size("tiny")
+    monkeypatch.delenv("FADTK_TPU_SCAN_LAYERS", raising=False)
+    w_off = wmod._jitted(wcfg, wmod._scan_flag())
+    monkeypatch.setenv("FADTK_TPU_SCAN_LAYERS", "1")
+    w_on = wmod._jitted(wcfg, wmod._scan_flag())
+    assert w_off is not w_on
