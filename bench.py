@@ -484,6 +484,19 @@ def bench_cpu_reference() -> float:
     if CACHE.exists():
         return json.loads(CACHE.read_text())["audio_sec_per_sec"]
 
+    # The baseline must be measured on an idle host: a concurrent test suite
+    # or bench sweep steals the torch threads and deflates the CPU number,
+    # inflating vs_baseline (observed: 5.3 -> 1.6 audio-s/s under a full
+    # pytest run). Record the load so a skewed measurement is evident.
+    load1 = os.getloadavg()[0]
+    if load1 > 4.0:
+        print(
+            f"# WARNING: load {load1:.1f} while measuring the CPU baseline; "
+            "the cached number may be deflated — delete "
+            f"{CACHE} and re-run on an idle host",
+            flush=True,
+        )
+
     import torch
     from transformers import Wav2Vec2Config, Wav2Vec2Model
 
@@ -512,7 +525,9 @@ def bench_cpu_reference() -> float:
 
     value = n * CLIP_SECONDS / elapsed
     CACHE.parent.mkdir(exist_ok=True)
-    CACHE.write_text(json.dumps({"audio_sec_per_sec": value}))
+    CACHE.write_text(
+        json.dumps({"audio_sec_per_sec": value, "loadavg_at_measure": load1})
+    )
     return value
 
 
@@ -576,8 +591,77 @@ def bench_sqrtm_fad_inf() -> dict:
     return extra
 
 
+def bench_e2e(n_files: int = 128, seconds: int = 10, src_sr: int = 44100) -> dict:
+    """End-to-end cache-pipeline throughput: 44.1 kHz WAV files on disk ->
+    decode -> Kaiser resample to 16 kHz -> batched w2v2-base embedding ->
+    float16 .npy store. This is the user-facing `fadtk` number (the headline
+    bench isolates the device forward; this one includes host IO, the convert
+    stage, and cache writes). Random weights; a fresh temp dataset each run
+    so nothing is pre-cached.
+    """
+    import shutil
+    import tempfile
+
+    os.environ.setdefault("FADTK_TPU_RANDOM_WEIGHTS", "1")
+
+    from fadtk_tpu.audio.wavio import float_to_int16, write_wav_int16
+    from fadtk_tpu.models.registry import get_model
+    from fadtk_tpu.runner.batch import cache_embedding_files
+
+    rng = np.random.default_rng(0)
+    root = Path(tempfile.mkdtemp(prefix="fadtk_bench_e2e_"))
+    try:
+        t = np.arange(seconds * src_sr) / src_sr
+        for i in range(n_files):
+            x = 0.25 * np.sin(2 * np.pi * float(rng.uniform(100, 2000)) * t)
+            x = x + 0.02 * rng.standard_normal(t.shape[0])
+            write_wav_int16(str(root / f"clip{i:04d}.wav"), float_to_int16(x), src_sr)
+
+        model = get_model("w2v2-base")
+        model.ensure_loaded()
+        # Warm the jit caches outside the timed window (compile is a
+        # once-per-deployment cost, amortized in production). The warm set
+        # must match the pipeline's batch window (workers*4 files of the same
+        # bucket) — a smaller warm batch compiles a different shape and the
+        # real one would compile inside the timed window.
+        warm = root / "warm"
+        warm.mkdir()
+        for i in range(32):
+            shutil.copy(root / "clip0000.wav", warm / f"w{i:02d}.wav")
+        cache_embedding_files(warm, model, workers=8)
+
+        t0 = time.perf_counter()
+        cache_embedding_files(root, model, workers=8)
+        wall = time.perf_counter() - t0
+
+        out = {
+            "e2e_files": n_files,
+            "e2e_wall_s": round(wall, 2),
+            "e2e_files_per_sec": round(n_files / wall, 2),
+            "e2e_audio_sec_per_sec": round(n_files * seconds / wall, 1),
+            "host_cpu_cores": os.cpu_count(),
+            "note": (
+                "decode+resample are host-CPU work (~100 ms/file single-core "
+                "at 44.1k->16k) that scales linearly with cores; this bench "
+                "host has os.cpu_count() cores and a tunneled device link "
+                "(~44 MB/s measured), so the e2e number here is host-bound, "
+                "not pipeline-bound - the device forward is benched "
+                "separately at 4200+ audio-s/s"
+            ),
+        }
+        cache_out = CACHE.parent / "e2e.json"
+        cache_out.parent.mkdir(exist_ok=True)
+        cache_out.write_text(json.dumps(out, indent=2))
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     import sys
+
+    if "--e2e" in sys.argv:
+        print(json.dumps(bench_e2e()))
 
     tpu = bench_tpu()
     cpu = bench_cpu_reference()
