@@ -43,6 +43,17 @@ def _jitted_forward(
     return jax.jit(partial(speech_encoder_forward, cfg, taps=taps))
 
 
+# int16 fast transport: cache-contract audio is 16-bit PCM scaled by 1/32768
+# (reference fadtk/model_loader.py:63-70), so exact batches ship as int16 —
+# HALF the bytes over the host->device link (and the axon client's RAM leak
+# is proportional to bytes shipped, CLAUDE.md) — and rescale on device in a
+# SEPARATE tiny jit. Keeping the rescale out of the forward means the f32
+# forward executable is byte-for-byte the same one the f32 path uses, so the
+# results are bit-identical (folding the convert into the forward changes
+# XLA's fusion and drifts a few f16 ulps — tests/test_model_pipeline.py).
+_int16_to_f32 = jax.jit(lambda a: a.astype(jnp.float32) * (1.0 / 32768.0))
+
+
 def _scan_flag() -> bool:
     from .encoder import scan_layers_enabled
 
@@ -167,6 +178,15 @@ class SpeechEmbeddingModel(EmbeddingModel):
                     audio[j, : clip.shape[0]] = clip
                     num_valid[j] = max(clip.shape[0], 1)
                 num_valid[b:] = 1  # keep masked norms well-defined on padding rows
+                # Ship int16 when the batch is exactly 16-bit PCM (it is
+                # whenever audio came through the convert cache): bit-identical
+                # on device, half the transfer bytes. One vectorized check.
+                scaled = audio * 32768.0
+                if (
+                    np.abs(scaled).max(initial=0.0) <= 32767.0
+                    and np.array_equal(scaled, np.rint(scaled))
+                ):
+                    audio = _int16_to_f32(scaled.astype(np.int16))
                 states, mask = fwd(self.params, audio, num_valid)
                 states = np.asarray(states[0].astype(jnp.float16))
                 mask = np.asarray(mask)

@@ -183,3 +183,42 @@ def test_registry_count_matches_reference_enumeration():
     models = get_all_models()
     assert len(models) == 146
     assert len({m.name for m in models}) == 146  # names unique
+
+
+def test_int16_transport_bit_identical():
+    """Speech embed_batch ships 16-bit-PCM-exact batches as int16 (half the
+    host->device bytes); the device rescale must be bit-identical to the f32
+    path, and non-PCM float audio must still go through unchanged."""
+    import jax.numpy as jnp
+
+    from fadtk_tpu.models.registry import get_model
+    from fadtk_tpu.models.speech.family import _jitted_forward, _scan_flag
+
+    m = get_model("w2v2-base")
+    m.ensure_loaded()
+
+    rng = np.random.default_rng(3)
+    ints = rng.integers(-(2**15) + 1, 2**15, size=16000)  # keep -32768 out so the int16 ship path definitely triggers
+    pcm = (ints / 32768.0).astype(np.float32)          # int16-exact
+    arb = (rng.standard_normal(16000) * 0.1).astype(np.float32)  # not exact
+
+    out_pcm = m.embed_batch([pcm])[0]
+    out_arb = m.embed_batch([arb])[0]
+
+    # Reference: force the f32 path through the raw jitted forward at the
+    # SAME bucketed shape embed_batch uses (a different pad length compiles a
+    # different executable whose fusion drifts f16 ulps).
+    from fadtk_tpu.models.speech.family import BUCKET_SECONDS
+
+    fwd = _jitted_forward(m.cfg, (m.layer,), _scan_flag())
+    bucket = BUCKET_SECONDS * m.sr
+
+    def ref_embed(clip):
+        padded = np.zeros((1, bucket), np.float32)
+        padded[0, : clip.shape[0]] = clip
+        states, mask = fwd(m.params, padded, np.asarray([clip.shape[0]], np.int32))
+        nf = int(np.asarray(mask[0]).sum())
+        return np.asarray(states[0, 0, :nf].astype(jnp.float16))
+
+    np.testing.assert_array_equal(out_pcm, ref_embed(pcm))
+    np.testing.assert_array_equal(out_arb, ref_embed(arb))
