@@ -28,7 +28,11 @@ import numpy as np
 from ...utils import log, next_multiple
 from ..base import EmbeddingModel
 from .config import SpeechEncoderConfig
-from .encoder import init_speech_encoder_params, speech_encoder_forward
+from .encoder import (
+    init_speech_encoder_params,
+    speech_encoder_forward,
+    scan_layers_enabled as _scan_flag,
+)
 
 BUCKET_SECONDS = 10
 
@@ -52,12 +56,6 @@ def _jitted_forward(
 # results are bit-identical (folding the convert into the forward changes
 # XLA's fusion and drifts a few f16 ulps — tests/test_model_pipeline.py).
 _int16_to_f32 = jax.jit(lambda a: a.astype(jnp.float32) * (1.0 / 32768.0))
-
-
-def _scan_flag() -> bool:
-    from .encoder import scan_layers_enabled
-
-    return scan_layers_enabled()
 
 
 class SpeechEmbeddingModel(EmbeddingModel):
@@ -183,7 +181,8 @@ class SpeechEmbeddingModel(EmbeddingModel):
                 # on device, half the transfer bytes. One vectorized check.
                 scaled = audio * 32768.0
                 if (
-                    np.abs(scaled).max(initial=0.0) <= 32767.0
+                    scaled.min(initial=0.0) >= -32768.0  # int16 holds -32768
+                    and scaled.max(initial=0.0) <= 32767.0
                     and np.array_equal(scaled, np.rint(scaled))
                 ):
                     audio = _int16_to_f32(scaled.astype(np.int16))

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from functools import lru_cache, partial
 
+from .speech.encoder import scan_layers_enabled as _scan_flag
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -26,18 +28,12 @@ from .whisper_impl import (
 )
 
 
-@lru_cache(maxsize=8)
+@lru_cache(maxsize=16)  # 5 sizes x 2 scan modes must all stay resident
 def _jitted(cfg: WhisperConfig, scan: bool = False):
     # `scan` keys the cache so a FADTK_TPU_SCAN_LAYERS flip mid-process
     # cannot reuse an executable traced under the other mode (the forward
     # reads the flag at trace time).
     return jax.jit(partial(whisper_forward, cfg))
-
-
-def _scan_flag() -> bool:
-    from .speech.encoder import scan_layers_enabled
-
-    return scan_layers_enabled()
 
 
 class WhisperModel(EmbeddingModel):

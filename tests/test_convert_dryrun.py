@@ -175,8 +175,22 @@ def test_dryrun_restores_random_weights_env(monkeypatch, tmp_path):
     # the reference pytree, before the key-coverage verdict.
     sd_path.write_text(json.dumps({}))
 
+    # Instrument get_model to prove the env-setting block actually ran (the
+    # test must not pass vacuously if dry_run_model fails before reaching it).
+    import fadtk_tpu.models.registry as registry
+
+    real_get_model = registry.get_model
+    seen_env: list = []
+
+    def spy(name):
+        seen_env.append(os.environ.get("FADTK_TPU_RANDOM_WEIGHTS"))
+        return real_get_model(name)
+
+    monkeypatch.setattr(registry, "get_model", spy)
+
     try:
         dr.dry_run_model("clap-2023", str(sd_path))
     except BaseException as e:  # noqa: BLE001 - verdict not under test
         assert not isinstance(e, KeyboardInterrupt)
+    assert "1" in seen_env, "the RANDOM_WEIGHTS block never ran — vacuous test"
     assert os.environ.get("FADTK_TPU_RANDOM_WEIGHTS") is None

@@ -198,7 +198,8 @@ def test_int16_transport_bit_identical():
     m.ensure_loaded()
 
     rng = np.random.default_rng(3)
-    ints = rng.integers(-(2**15) + 1, 2**15, size=16000)  # keep -32768 out so the int16 ship path definitely triggers
+    ints = rng.integers(-(2**15), 2**15, size=16000)
+    ints[0] = -(2**15)  # full-scale -1.0 (hard-clipped sample) must still ship int16
     pcm = (ints / 32768.0).astype(np.float32)          # int16-exact
     arb = (rng.standard_normal(16000) * 0.1).astype(np.float32)  # not exact
 
