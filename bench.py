@@ -231,11 +231,12 @@ def _family_cases():
 
         x = jnp.asarray(rng.standard_normal((b, 1, sec * 24000)), jnp.float32) * 0.1
         return fwd, params, (x,), b * sec, (
-            "24k whole-file path at a fixed 10 s shape. Low-MFU diagnosis: the "
-            "SEANet encoder is narrow (32-512 channels) streaming convs plus a "
-            "sequential 2-layer LSTM at 75 Hz - low arithmetic intensity and a "
-            "serial tail by architecture; throughput (~4000 window-s/s) not MXU "
-            "fill is the relevant number"
+            "24k whole-file path at a fixed 10 s shape. Low-MFU diagnosis "
+            "(measured, round-2 ablation): replacing the 2-layer LSTM with "
+            "identity changes 60.8 -> 56.9 ms, so the serial LSTM is only "
+            "~6% - the cost is the narrow (32-512ch) reflect-pad conv stack, "
+            "width/bandwidth-bound like DAC; throughput not MXU fill is the "
+            "relevant number"
         )
 
     def clap(dtype):
