@@ -35,6 +35,43 @@ def checkpoint_dir() -> Path:
     )
 
 
+def _ship_int16_if_exact(group: np.ndarray):
+    """Return `group` as a device f32 array shipped over the link as int16,
+    or None if the values are not exactly int16-representable.
+
+    Chunked-family batches are usually 16-bit PCM scaled by 1/32768 (the
+    convert-cache contract; CLAP even quantizes through int16 by reference
+    semantics), so the transfer can ship at half the bytes — the tunneled
+    bench link moves ~44 MB/s and the axon client retains RAM proportional
+    to bytes shipped (CLAUDE.md). The rescale runs in a separate tiny jit so
+    the family's forward executable is unchanged and results stay
+    bit-identical (same scheme as the speech family —
+    models/speech/family.py). Mel examples / normalized windows (vggish,
+    DAC) fail the check and ship f32 unchanged.
+    """
+    if group.dtype not in (np.float32, np.float64):
+        return None
+    scaled = group * 32768.0
+    if not (
+        scaled.min(initial=0.0) >= -32768.0
+        and scaled.max(initial=0.0) <= 32767.0
+        and np.array_equal(scaled, np.rint(scaled))
+    ):
+        return None
+    import jax
+    import jax.numpy as jnp
+
+    global _int16_rescale
+    if _int16_rescale is None:
+        _int16_rescale = jax.jit(
+            lambda a: a.astype(jnp.float32) * (1.0 / 32768.0)
+        )
+    return _int16_rescale(scaled.astype(np.int16))
+
+
+_int16_rescale = None
+
+
 class EmbeddingModel(ABC):
     """One embedding model variant (one registry name)."""
 
@@ -176,6 +213,7 @@ class EmbeddingModel(ABC):
         if total == 0:
             return [c[:0] for c in per_file_chunks]
         outs = []
+        try_int16 = True  # cleared after the first non-PCM group (homogeneous data)
         for start in range(0, total, batch_size):
             group = flat[start : start + batch_size]
             # Always pad to the full batch so every call reuses one executable.
@@ -184,6 +222,12 @@ class EmbeddingModel(ABC):
                 group = np.concatenate(
                     [group, np.zeros((pad, *group.shape[1:]), group.dtype)]
                 )
+            if try_int16:
+                shipped = _ship_int16_if_exact(group)
+                if shipped is None:
+                    try_int16 = False  # e.g. mel examples / normalized windows
+                else:
+                    group = shipped
             out = np.asarray(forward(group))
             outs.append(out[: out.shape[0] - pad] if pad else out)
         merged = np.concatenate(outs, axis=0)

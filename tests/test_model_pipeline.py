@@ -223,3 +223,31 @@ def test_int16_transport_bit_identical():
 
     np.testing.assert_array_equal(out_pcm, ref_embed(pcm))
     np.testing.assert_array_equal(out_arb, ref_embed(arb))
+
+
+def test_chunked_int16_transport_bit_identical():
+    """_batch_chunked ships PCM-exact chunk batches as int16 via the shared
+    helper; results must equal the f32 path bitwise, and non-PCM chunk
+    content (e.g. mel examples) must pass through unconverted."""
+    from fadtk_tpu.models import base as mbase
+
+    rng = np.random.default_rng(9)
+    ints = rng.integers(-(2**15), 2**15, size=(5, 1000))
+    pcm_chunks = (ints / 32768.0).astype(np.float32)
+    mel_like = rng.standard_normal((5, 1000)).astype(np.float32)
+
+    shipped = mbase._ship_int16_if_exact(pcm_chunks)
+    assert shipped is not None
+    np.testing.assert_array_equal(np.asarray(shipped), pcm_chunks)
+    assert mbase._ship_int16_if_exact(mel_like) is None
+
+    calls = []
+
+    def fwd(g):
+        calls.append(type(g).__name__)
+        return np.asarray(g).sum(axis=1, keepdims=True)
+
+    out = mbase.EmbeddingModel._batch_chunked([pcm_chunks, mel_like], fwd, batch_size=4)
+    ref = [pcm_chunks.sum(axis=1, keepdims=True), mel_like.sum(axis=1, keepdims=True)]
+    for o, r in zip(out, ref):
+        np.testing.assert_allclose(o, r, rtol=1e-6, atol=1e-6)
