@@ -86,6 +86,7 @@ class EmbeddingModel(ABC):
         self.min_len = min_len
         self.loaded = False
         self._bf16_cast = False
+        self._bf16_active: bool | None = None  # latched at first ensure_loaded
 
     # ------------------------------------------------------------------ #
     # Loading / precision
@@ -97,7 +98,15 @@ class EmbeddingModel(ABC):
 
     @property
     def bf16(self) -> bool:
-        """Is the bf16 throughput mode active for this model (models/precision.py)?"""
+        """Is the bf16 throughput mode active for this model (models/precision.py)?
+
+        Latched at first ``ensure_loaded``: once params are cast (or loaded
+        float32), flipping FADTK_TPU_BF16 cannot desynchronize the compute
+        dtype from ``cache_name`` — a bf16 forward can never write under the
+        float32 cache key or vice versa.
+        """
+        if self._bf16_active is not None:
+            return self._bf16_active
         from .precision import bf16_enabled
 
         return self.SUPPORTS_BF16 and bf16_enabled()
@@ -113,6 +122,8 @@ class EmbeddingModel(ABC):
         if not self.loaded:
             self.load_model()
             self.loaded = True
+        if self._bf16_active is None:
+            self._bf16_active = self.bf16  # latch the mode with the params
         if self.bf16 and not self._bf16_cast and getattr(self, "params", None) is not None:
             from .precision import cast_params_bf16
 

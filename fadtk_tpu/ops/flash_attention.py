@@ -49,8 +49,12 @@ def flash_attention_enabled() -> bool:
     (tests run the XLA path on the virtual CPU mesh; the kernel itself is
     CPU-testable via interpret=True)."""
     env = os.environ.get("FADTK_TPU_FLASH_ATTENTION")
-    if env is not None:
-        return env == "1"
+    if env is not None and env.strip():
+        # Same truthy set as FADTK_TPU_BF16 (models/precision.py) so
+        # "true"/"on" enable rather than silently disabling the kernel.
+        from ..models.precision import _TRUTHY
+
+        return env.strip().lower() in _TRUTHY
     try:
         return jax.default_backend() not in ("cpu",)
     except Exception:

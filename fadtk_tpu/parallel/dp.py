@@ -132,8 +132,16 @@ def dp_whole_clip_dataset_stats(
 
     Clips group by exact prepared shape; full groups dispatch as they fill,
     stragglers flush at the end padded (rows only) to a multiple of dp.
+
+    Host RAM stays O(window): a ragged dataset (every clip a distinct length)
+    cannot pile up unboundedly — whenever total buffered clips exceed a cap
+    (4x batch), the largest group flushes early (partial dispatches are exact,
+    only slightly less efficient). Many distinct shapes also log a hint, since
+    each distinct length compiles its own executable.
     """
     from collections import defaultdict
+
+    from ..utils import log
 
     dp = mesh.shape["dp"]
     if batch is None:
@@ -147,6 +155,9 @@ def dp_whole_clip_dataset_stats(
     n = 0
 
     groups: dict[tuple, list[np.ndarray]] = defaultdict(list)
+    n_buffered = 0
+    max_buffered = 4 * batch
+    warned_shapes = False
 
     def dispatch(rows: list[np.ndarray]):
         nonlocal mu, s, n
@@ -164,9 +175,23 @@ def dp_whole_clip_dataset_stats(
         c = spec.prepare(np.asarray(clip))
         bucket = groups[c.shape]
         bucket.append(c)
+        n_buffered += 1
         if len(bucket) >= batch:
             dispatch(bucket[:batch])
             del bucket[:batch]
+            n_buffered -= batch
+        if n_buffered > max_buffered:
+            if not warned_shapes and len(groups) > max_buffered // 2:
+                warned_shapes = True
+                log.info(
+                    f"whole-clip dp: {len(groups)} distinct clip shapes buffered — "
+                    "a ragged-length dataset compiles one executable per length; "
+                    "flushing early to bound host RAM"
+                )
+            shape = max(groups, key=lambda k: len(groups[k]))
+            flushed = groups.pop(shape)
+            dispatch(flushed)
+            n_buffered -= len(flushed)
     for bucket in groups.values():
         if bucket:
             dispatch(bucket)

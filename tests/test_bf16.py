@@ -204,3 +204,26 @@ def test_cli_flag_exposed():
 
     assert "--bf16" in inspect.getsource(main_cli)
     assert "--bf16" in inspect.getsource(embeds_cli)
+
+
+def test_bf16_latch_survives_env_flip(monkeypatch):
+    """Once loaded, flipping FADTK_TPU_BF16 cannot desynchronize the compute
+    dtype from cache_name (ADVICE r2): a model cast to bf16 keeps reporting
+    bf16=True / '<name>-bf16' after the env var is cleared, and a float32
+    model stays float32 after the env var is set."""
+    from fadtk_tpu.models.wav2vec2 import W2V2Model
+
+    monkeypatch.setenv("FADTK_TPU_BF16", "1")
+    m16 = W2V2Model("base", layer=12)
+    m16.ensure_loaded()
+    assert "bfloat16" in _leaf_dtypes(m16.params)
+    monkeypatch.delenv("FADTK_TPU_BF16")
+    assert m16.bf16 is True  # latched with the cast params
+    assert m16.cache_name.endswith("-bf16")
+
+    m32 = W2V2Model("base", layer=12)
+    m32.ensure_loaded()
+    assert _leaf_dtypes(m32.params) == {"float32"}
+    monkeypatch.setenv("FADTK_TPU_BF16", "1")
+    assert m32.bf16 is False  # latched float32
+    assert m32.cache_name == m32.name
