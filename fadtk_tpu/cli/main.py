@@ -63,6 +63,23 @@ def main() -> None:
                          "chips, dp-sharded) without writing per-file "
                          "embedding .npy caches. Plain score only; stats "
                          "match the cached path to float32 accumulation")
+    ap.add_argument("--tp", type=int, default=1,
+                    help="tensor-parallel degree for --device-pipeline: shard "
+                         "attention heads / FFN columns of each model replica "
+                         "over tp chips; the remaining chips form the dp axis "
+                         "(batch sharding). Must divide the device count")
+    ap.add_argument("--devices", type=int, default=None,
+                    help="number of local devices for --device-pipeline "
+                         "(default: all)")
+    ap.add_argument("--batch", type=int, default=None,
+                    help="clips (speech) / chunks (other families) per "
+                         "device dispatch for --device-pipeline (default: "
+                         "a bench-tuned per-family value x dp)")
+    ap.add_argument("--multihost", action="store_true",
+                    help="multi-host pod mode: jax.distributed.initialize() "
+                         "then mesh over ALL global devices (run this same "
+                         "command on every host of the pod; tp stays within "
+                         "a host so its collectives ride ICI)")
     args = ap.parse_args()
 
     if args.bf16:
@@ -77,13 +94,28 @@ def main() -> None:
                              "(--inf/--indiv read the embedding cache)")
         from ..runner.device_pipeline import score_datasets_device
 
-        t0 = time.time()
+        if args.multihost:
+            from ..parallel import multihost
+
+            multihost.initialize()
+            mesh = multihost.global_mesh(tp=args.tp)
+        else:
+            from ..parallel.mesh import make_mesh
+
+            mesh = make_mesh(args.devices, tp=args.tp)
+        log.info(
+            f"device pipeline mesh: dp={mesh.shape['dp']} x tp={mesh.shape['tp']}"
+        )
         try:
-            score = score_datasets_device(model, baseline, eval_)
+            score = score_datasets_device(
+                model, baseline, eval_, mesh=mesh, batch=args.batch
+            )
         except NotImplementedError as e:
             raise SystemExit(f"{model.name}: {e}")
         _report(args, model, baseline, eval_, score, None)
         return
+    if args.tp != 1 or args.devices is not None or args.multihost:
+        raise SystemExit("--tp/--devices/--multihost require --device-pipeline")
 
     # 1. Cache embeddings for both datasets.
     for d in [baseline, eval_]:

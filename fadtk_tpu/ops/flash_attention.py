@@ -133,7 +133,7 @@ def flash_attention(
     n_valid: jax.Array | None = None,
     block_q: int = 512,
     block_kv: int = 512,
-    interpret: bool = False,
+    interpret: bool | None = None,
     position_bias: jax.Array | None = None,
     gate: jax.Array | None = None,
 ) -> jax.Array:
@@ -148,6 +148,11 @@ def flash_attention(
     valid prefix (finite values, masked downstream by the frame mask like
     the XLA path).
     """
+    if interpret is None:
+        # Pallas has no CPU lowering: when the kernel is force-enabled on the
+        # virtual CPU mesh (multi-chip dryruns, tests) run the interpreter so
+        # the same call sites exercise the same kernel code everywhere.
+        interpret = jax.default_backend() == "cpu"
     b, h, t, d = q.shape
     if n_valid is None:
         nv = jnp.full((b,), t, jnp.int32)

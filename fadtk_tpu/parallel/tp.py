@@ -240,5 +240,9 @@ def make_sharded_eval_step(cfg: SpeechEncoderConfig, params, mesh: Mesh, layer: 
             mesh=mesh,
             in_specs=(specs, P("dp", None), P("dp")),
             out_specs=(P(), P(), P()),
+            # The Pallas flash-attention kernel can't declare varying-mesh-axes
+            # on its out_shape; correctness of these hand-written collectives
+            # is pinned by tests/test_parallel.py (TP == single-device).
+            check_vma=False,
         )
     )

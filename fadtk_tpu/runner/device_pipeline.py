@@ -48,8 +48,8 @@ def dataset_stats_device(
 ) -> tuple[np.ndarray, np.ndarray, int]:
     """(mu, cov, n_frames) of a dataset, computed on device.
 
-    ``mesh``: a (dp, tp) Mesh for multi-chip runs; None = single device
-    (a 1x1 mesh over the default device).
+    ``mesh``: a (dp, tp) Mesh for multi-chip runs; None = dp over ALL local
+    devices (tp=1) — the CLI's `--device-pipeline` default.
 
     The speech family takes the specialized (dp, tp) bucketed path below;
     every other family goes through its ``dp_spec`` (fixed-window chunks) or
@@ -62,7 +62,7 @@ def dataset_stats_device(
         files = dataset_files(files)
     model.ensure_loaded()
     if mesh is None:
-        mesh = make_mesh(1, tp=1)
+        mesh = make_mesh()
 
     if not isinstance(model, SpeechEmbeddingModel):
         return _dataset_stats_device_chunked(

@@ -161,7 +161,8 @@ def test_device_pipeline_cli_matches_cached_path(tmp_path, monkeypatch):
     main()
     monkeypatch.setattr(
         sys, "argv",
-        ["fadtk", "vggish", str(base), str(ev), str(csv2), "--device-pipeline"],
+        ["fadtk", "vggish", str(base), str(ev), str(csv2), "--device-pipeline",
+         "--batch", "16"],
     )
     main()
 
@@ -179,4 +180,38 @@ def test_device_pipeline_cli_rejects_inf(tmp_path, monkeypatch):
         ["fadtk", "vggish", str(d), str(d), "--device-pipeline", "--inf"],
     )
     with pytest.raises(SystemExit, match="plain scoring only"):
+        main()
+
+
+def test_device_pipeline_cli_tp_mesh(tmp_path, monkeypatch):
+    """`fadtk --device-pipeline --tp 2` drives the (dp=4, tp=2) sharded speech
+    engine through the CLI front door (VERDICT r2 #1): psum-merged stats over
+    dp>1 match the host cached path."""
+    from fadtk_tpu.cli.main import main
+
+    base = _make_dataset(tmp_path, "tb", 3, 11)
+    ev = _make_dataset(tmp_path, "te", 3, 12)
+    csv1 = tmp_path / "host.csv"
+    csv2 = tmp_path / "mesh.csv"
+
+    monkeypatch.setattr(sys, "argv", ["fadtk", "w2v2-base", str(base), str(ev), str(csv1)])
+    main()
+    monkeypatch.setattr(
+        sys, "argv",
+        ["fadtk", "w2v2-base", str(base), str(ev), str(csv2),
+         "--device-pipeline", "--tp", "2", "--batch", "8"],
+    )
+    main()
+
+    s1 = float(csv1.read_text().splitlines()[1].split(",")[3])
+    s2 = float(csv2.read_text().splitlines()[1].split(",")[3])
+    assert abs(s1 - s2) / max(abs(s1), 1e-9) < 5e-3, (s1, s2)
+
+
+def test_mesh_flags_require_device_pipeline(tmp_path, monkeypatch):
+    from fadtk_tpu.cli.main import main
+
+    d = _make_dataset(tmp_path, "mf", 2, 13)
+    monkeypatch.setattr(sys, "argv", ["fadtk", "vggish", str(d), str(d), "--tp", "2"])
+    with pytest.raises(SystemExit, match="require --device-pipeline"):
         main()
