@@ -653,11 +653,45 @@ def bench_e2e(n_files: int = 128, seconds: int = 10, src_sr: int = 44100) -> dic
         cache_embedding_files(root, model, workers=8)
         wall = time.perf_counter() - t0
 
+        # Pure decode floor: the irreducible host work per file (the convert
+        # stage's resample/quantize runs on device in the pipeline below).
+        from fadtk_tpu.audio.decode import decode_audio
+
+        dec_files = sorted(root.glob("clip*.wav"))[:32]
+        decode_audio(dec_files[0])  # warm the lib
+        t0 = time.perf_counter()
+        for f in dec_files:
+            x, _sr = decode_audio(f)
+            np.mean(x, axis=0)
+        decode_wall = time.perf_counter() - t0
+        decode_rate = len(dec_files) * seconds / decode_wall
+
+        # Device-pipeline scoring on a NEVER-cached copy: decode on host,
+        # Kaiser resample + PCM quantization + embedding + Gaussian
+        # accumulation all on device (runner/convert.py + device_pipeline).
+        from fadtk_tpu.runner.device_pipeline import dataset_stats_device
+
+        fresh = root / "fresh"
+        fresh.mkdir()
+        for f in sorted(root.glob("clip*.wav")):
+            shutil.copy(f, fresh / f.name)
+        # Warm the convert + eval-step executables on the warm dir's shapes.
+        dataset_stats_device(model, warm, batch=16)
+        t0 = time.perf_counter()
+        dataset_stats_device(model, fresh, batch=16)
+        dp_wall = time.perf_counter() - t0
+
         out = {
             "e2e_files": n_files,
             "e2e_wall_s": round(wall, 2),
             "e2e_files_per_sec": round(n_files / wall, 2),
             "e2e_audio_sec_per_sec": round(n_files * seconds / wall, 1),
+            "decode_only_audio_sec_per_sec": round(decode_rate, 1),
+            "device_pipeline_wall_s": round(dp_wall, 2),
+            "device_pipeline_audio_sec_per_sec": round(n_files * seconds / dp_wall, 1),
+            "device_pipeline_vs_decode_floor": round(
+                (n_files * seconds / dp_wall) / decode_rate, 3
+            ),
             "host_cpu_cores": os.cpu_count(),
             "note": (
                 "decode+resample are host-CPU work (~100 ms/file single-core "

@@ -93,6 +93,10 @@ def _resample_device(x: jax.Array, sr_in: int, sr_out: int) -> jax.Array:
         padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),
         preferred_element_type=jnp.float32,
+        # True f32 accumulation: the TPU default (bf16 MXU passes) would put
+        # ~1e-3 relative error on samples that a 16-bit PCM quantization
+        # follows (needs ~3e-5). The filter is tiny; HIGHEST costs nothing.
+        precision=jax.lax.Precision.HIGHEST,
     )  # (B, new, n_blocks)
     del n_blocks
     out = jnp.transpose(out, (0, 2, 1)).reshape(b, -1)  # interleave phases
@@ -142,3 +146,46 @@ def resample_batch(x: jax.Array, sr_in: int, sr_out: int) -> jax.Array:
     if sr_in == sr_out:
         return x
     return _resample_device(x, int(sr_in), int(sr_out))
+
+
+def resampled_length(n: int, sr_in: int, sr_out: int) -> int:
+    """Output length of resampling an n-sample clip (torchaudio's ceil rule)."""
+    gcd = math.gcd(int(sr_in), int(sr_out))
+    return int(math.ceil((sr_out // gcd) * n / (sr_in // gcd)))
+
+
+def source_samples_needed(n_out: int, sr_in: int, sr_out: int) -> int:
+    """Source samples whose values the first ``n_out`` output samples depend
+    on: truncating the source here (instead of resampling the full clip and
+    truncating the output) leaves those outputs bit-identical — output i reads
+    source indices < i*orig/new + width + 1, and the polyphase kernel pads the
+    tail with zeros beyond the signal either way."""
+    gcd = math.gcd(int(sr_in), int(sr_out))
+    orig, new = sr_in // gcd, sr_out // gcd
+    _, width, _, _ = kaiser_sinc_kernel(int(sr_in), int(sr_out))
+    return int(math.ceil(n_out * orig / new)) + width + orig
+
+
+@partial(jax.jit, static_argnames=("sr_in", "sr_out"))
+def convert_device(x: jax.Array, sr_in: int, sr_out: int) -> jax.Array:
+    """The convert-cache transform ON DEVICE: (B, T_src) mono batches ->
+    (B, T_dst) int16, i.e. Kaiser resample + the cached wav's 16-bit PCM
+    quantization (scale 32768, round-half-even, clamp — audio/wavio.py
+    float_to_int16; exact in float32 since |values| < 2^15 << 2^24).
+
+    ``x`` may be int16 (source audio that is 16-bit-PCM-exact ships at half
+    the bytes and rescales on device, bit-identically) or float32.
+
+    Numerics vs the host convert path (runner/fad.py load_audio): the same
+    polyphase filter bank, but XLA's conv accumulation order differs from the
+    host BLAS GEMM, so ~0.1% of samples land one int16 LSB apart (measured
+    max |diff| ~5e-7 pre-quantization). Scores move O(1e-6) — far inside the
+    device pipeline's float32-accumulation contract; the host cached path
+    remains the bit-parity reference.
+    """
+    if x.dtype == jnp.int16:
+        x = x.astype(jnp.float32) * (1.0 / 32768.0)
+    if sr_in != sr_out:
+        x = _resample_device(x, int(sr_in), int(sr_out))
+    q = jnp.clip(jnp.round(x * 32768.0), -32768.0, 32767.0)
+    return q.astype(jnp.int16)

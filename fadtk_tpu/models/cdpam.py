@@ -98,6 +98,10 @@ class CdpamModel(EmbeddingModel):
         wav_data, _sr = read_wav_int16(wav_file)
         return wav_data.astype(np.float32)
 
+    def load_wav_array(self, wav_data: np.ndarray) -> np.ndarray:
+        """In-memory twin of load_wav: int16-scale float32."""
+        return np.asarray(wav_data, np.int16).astype(np.float32)
+
     def _chunk(self, audio: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """Split one clip into padded 1 s chunks + valid lengths.
 

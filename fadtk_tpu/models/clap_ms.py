@@ -44,9 +44,12 @@ class _MelParams(NamedTuple):
 
 
 def msclap_projection(p, x: jax.Array) -> jax.Array:
-    """msclap Projection: layer_norm(linear1(x) + linear2(gelu(linear1(x))))."""
-    p1 = x @ p["linear1"]["kernel"] + p["linear1"]["bias"]
-    p2 = jax.nn.gelu(p1, approximate=False) @ p["linear2"]["kernel"] + p["linear2"]["bias"]
+    """msclap Projection: layer_norm(linear1(x) + linear2(gelu(linear1(x)))).
+
+    Both linears are bias-free (nn.Linear(..., bias=False),
+    msclap/models/clap.py Projection)."""
+    p1 = x @ p["linear1"]["kernel"]
+    p2 = jax.nn.gelu(p1, approximate=False) @ p["linear2"]["kernel"]
     y = p1 + p2
     mu = jnp.mean(y, axis=-1, keepdims=True)
     var = jnp.var(y, axis=-1, keepdims=True)
@@ -110,14 +113,9 @@ class MSCLAPModel(EmbeddingModel):
             k1, k2 = jax.random.split(key)
             d = self.cfg.num_features
             params["projection"] = {
-                "linear1": {
-                    "kernel": jax.random.normal(k1, (d, 1024)) * 0.02,
-                    "bias": jnp.zeros((1024,)),
-                },
-                "linear2": {
-                    "kernel": jax.random.normal(k2, (1024, 1024)) * 0.02,
-                    "bias": jnp.zeros((1024,)),
-                },
+                # Bias-free linears, mirroring the published Projection class.
+                "linear1": {"kernel": jax.random.normal(k1, (d, 1024)) * 0.02},
+                "linear2": {"kernel": jax.random.normal(k2, (1024, 1024)) * 0.02},
                 "layer_norm": {"scale": jnp.ones((1024,)), "bias": jnp.zeros((1024,))},
             }
             self.params = params

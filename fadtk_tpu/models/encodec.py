@@ -101,6 +101,19 @@ class EncodecEmbModel(EmbeddingModel):
             wav = wav[:, :limit]
         return wav  # (channels, T)
 
+    def load_wav_array(self, wav_data: np.ndarray) -> np.ndarray:
+        """In-memory twin of load_wav: /32768, channel duplication for the
+        stereo 48k model, 3-minute cut."""
+        wav = (np.asarray(wav_data, np.int16) / 32768.0).astype(np.float32)
+        if wav.ndim == 1:
+            wav = wav[None, :]
+        if self.cfg.audio_channels == 2 and wav.shape[0] == 1:
+            wav = np.repeat(wav, 2, axis=0)
+        limit = 3 * 60 * self.sr
+        if wav.shape[1] > limit:
+            wav = wav[:, :limit]
+        return wav
+
     def embed_batch(self, clips: list[np.ndarray]) -> list[np.ndarray]:
         """Cross-file batching for the 24k whole-file path: clips of identical
         (channels, length) share one forward (music datasets are typically

@@ -3,7 +3,9 @@ covariance, without materializing per-file embedding .npy files.
 
 This is the TPU-native fast path for "score two directories" (the reference
 always round-trips embeddings through the filesystem, fad.py:188-209): clips
-are decoded/resampled on host threads, bucketed and batched, embedded on the
+are decoded on host threads, convert-cache misses are Kaiser-resampled and
+PCM-quantized ON DEVICE in batches (runner/convert.py — the host convert tax
+drops to decode + IO), then clips are bucketed and batched, embedded on the
 mesh, and folded into per-device Welford partials merged with one psum. Only
 (mu, M2, n) per batch returns to host, where batches merge with the exact
 Chan update.
@@ -25,7 +27,7 @@ round-trip before accumulating — tested).
 
 from __future__ import annotations
 
-from concurrent.futures import ThreadPoolExecutor
+from itertools import islice
 from pathlib import Path
 from typing import Sequence
 
@@ -36,6 +38,7 @@ from ..models.base import EmbeddingModel
 from ..models.speech.family import BUCKET_SECONDS, SpeechEmbeddingModel
 from ..parallel.tp import make_sharded_eval_step
 from ..utils import PathLike, dataset_files, next_multiple
+from .convert import ClipLoader
 from .fad import FrechetAudioDistance
 
 
@@ -75,37 +78,38 @@ def dataset_stats_device(
     assert batch % dp == 0, f"batch {batch} must divide dp={dp}"
 
     step = make_sharded_eval_step(model.cfg, model.params, mesh, model.layer)
-    fad = FrechetAudioDistance(model, load_model=False)
 
-    # Host decode on threads, overlapping device compute.
-    def prepare(f: Path):
-        wav = np.asarray(fad.load_audio(f))
-        if wav.shape[0] > model.limit:
-            wav = wav[: model.limit]
-        return wav
+    # Host decode on threads; resample/quantize for cache misses runs on
+    # device in batches (runner/convert.py), so the host convert tax is
+    # decode + IO only.
+    loader = ClipLoader(model, workers=workers)
 
     mu = np.zeros(model.num_features)
     s = np.zeros((model.num_features, model.num_features))
     n = 0
 
-    with ThreadPoolExecutor(max_workers=workers) as ex:
-        window = batch
-        for i in range(0, len(files), window):
-            clips = list(ex.map(prepare, files[i : i + window]))
-            bucket = next_multiple(max(c.shape[0] for c in clips), BUCKET_SECONDS * model.sr)
-            audio = np.zeros((batch, bucket), np.float32)
-            num_valid = np.ones((batch,), np.int32)
-            for j, c in enumerate(clips):
-                audio[j, : c.shape[0]] = c
-                num_valid[j] = c.shape[0]
-            mu_b, cov_b, n_b = step(model.params, audio, num_valid)
-            n_b = float(n_b)
-            if n_b < 1:
-                continue
-            s_b = np.asarray(cov_b, np.float64) * max(n_b - 1.0, 0.0)
-            mu, s, n = merge_partial_stats(
-                mu, s, n, np.asarray(mu_b, np.float64), s_b, int(n_b)
-            )
+    clips_iter = loader.iter_clips(files)
+    while True:
+        clips = [
+            c if c.shape[0] <= model.limit else c[: model.limit]
+            for c in islice(clips_iter, batch)
+        ]
+        if not clips:
+            break
+        bucket = next_multiple(max(c.shape[0] for c in clips), BUCKET_SECONDS * model.sr)
+        audio = np.zeros((batch, bucket), np.float32)
+        num_valid = np.ones((batch,), np.int32)
+        for j, c in enumerate(clips):
+            audio[j, : c.shape[0]] = c
+            num_valid[j] = c.shape[0]
+        mu_b, cov_b, n_b = step(model.params, audio, num_valid)
+        n_b = float(n_b)
+        if n_b < 1:
+            continue
+        s_b = np.asarray(cov_b, np.float64) * max(n_b - 1.0, 0.0)
+        mu, s, n = merge_partial_stats(
+            mu, s, n, np.asarray(mu_b, np.float64), s_b, int(n_b)
+        )
 
     if n < 2:
         return mu, np.zeros_like(s), n
@@ -130,24 +134,13 @@ def _dataset_stats_device_chunked(
             "path; use the host cached-embedding path."
         )
 
-    fad = FrechetAudioDistance(model, load_model=False)
-
-    def clips():
-        # Windowed map: Executor.map submits ALL tasks eagerly, so mapping the
-        # whole file list would buffer every decoded waveform in pending
-        # results (O(dataset) host RAM — 10k x 10 s x 48 kHz f32 ≈ 19 GB).
-        # Bounded windows keep decode overlapping device compute at O(window),
-        # matching the speech path above.
-        window = 8 * workers
-        with ThreadPoolExecutor(max_workers=workers) as ex:
-            for i in range(0, len(files), window):
-                yield from ex.map(
-                    lambda f: np.asarray(fad.load_audio(f)), files[i : i + window]
-                )
+    # ClipLoader windows internally (O(window) host RAM): decode threads
+    # overlap device compute, and convert-cache misses resample on device.
+    clips = ClipLoader(model, workers=workers).iter_clips(files)
 
     if spec is not None:
-        return dp_chunk_dataset_stats(spec, clips(), mesh, batch=batch)
-    return dp_whole_clip_dataset_stats(whole, clips(), mesh, batch=batch)
+        return dp_chunk_dataset_stats(spec, clips, mesh, batch=batch)
+    return dp_whole_clip_dataset_stats(whole, clips, mesh, batch=batch)
 
 
 def score_datasets_device(

@@ -156,9 +156,11 @@ def convert_msclap_audio(state_dict, cfg: HTSATConfig) -> dict:
         if k.startswith("audio_encoder.base.htsat.")
     }
     params = convert_clap_audio(htsat_sd, cfg)
+    # msclap's Projection declares nn.Linear(..., bias=False) on both linears
+    # (msclap/models/clap.py) — only the layer_norm carries a bias.
     params["projection"] = {
-        "linear1": _dense(sd, "audio_encoder.projection.linear1"),
-        "linear2": _dense(sd, "audio_encoder.projection.linear2"),
+        "linear1": _dense(sd, "audio_encoder.projection.linear1", bias=False),
+        "linear2": _dense(sd, "audio_encoder.projection.linear2", bias=False),
         "layer_norm": _norm(sd, "audio_encoder.projection.layer_norm"),
     }
     return params

@@ -198,9 +198,16 @@ def dry_run_model(name: str, schema_path: str) -> None:
 
         def relevant(k):
             k = k.removeprefix("module.")
-            return k.startswith(
-                ("audio_branch.", "audio_projection.", "audio_model.")
-            ) and "spectrogram_extractor" not in k and "logmel_extractor" not in k
+            return (
+                k.startswith(("audio_branch.", "audio_projection.", "audio_model."))
+                and "spectrogram_extractor" not in k
+                and "logmel_extractor" not in k
+                # token-semantic classifier head: CLAP taps latent_output
+                # before it (laion_clap get_audio_embedding), legitimately
+                # unconverted like DAC's decoder subtree.
+                and ".tscam_conv." not in k
+                and not k.startswith("audio_branch.head.")
+            )
 
         dry_run_convert(
             name,
@@ -216,7 +223,13 @@ def dry_run_model(name: str, schema_path: str) -> None:
 
         def relevant(k):
             k = k.removeprefix("module.")
-            return k.startswith("audio_encoder.") and "spectrogram" not in k
+            return (
+                k.startswith("audio_encoder.")
+                and "spectrogram" not in k
+                and "logmel_extractor" not in k
+                and ".tscam_conv." not in k
+                and ".htsat.head." not in k  # see the laion note above
+            )
 
         # Reference shapes: the model's random-weight init pytree. Restore the
         # env var afterwards — leaving it set would silently flip the whole

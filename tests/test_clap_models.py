@@ -68,8 +68,9 @@ def test_msclap_converter_roundtrip():
     from fadtk_tpu.models.clap_ms import msclap_projection
 
     torch.manual_seed(0)
-    lin1 = torch.nn.Linear(16, 8)
-    lin2 = torch.nn.Linear(8, 8)
+    # Bias-free linears, mirroring msclap/models/clap.py Projection.
+    lin1 = torch.nn.Linear(16, 8, bias=False)
+    lin2 = torch.nn.Linear(8, 8, bias=False)
     ln = torch.nn.LayerNorm(8)
 
     x = torch.randn(3, 16)
@@ -78,8 +79,8 @@ def test_msclap_converter_roundtrip():
         ref = ln(p1 + lin2(torch.nn.functional.gelu(p1))).numpy()
 
     p = {
-        "linear1": {"kernel": lin1.weight.detach().numpy().T, "bias": lin1.bias.detach().numpy()},
-        "linear2": {"kernel": lin2.weight.detach().numpy().T, "bias": lin2.bias.detach().numpy()},
+        "linear1": {"kernel": lin1.weight.detach().numpy().T},
+        "linear2": {"kernel": lin2.weight.detach().numpy().T},
         "layer_norm": {"scale": ln.weight.detach().numpy(), "bias": ln.bias.detach().numpy()},
     }
     ours = np.asarray(msclap_projection(p, jnp.asarray(x.numpy())))

@@ -194,3 +194,110 @@ def test_dryrun_restores_random_weights_env(monkeypatch, tmp_path):
         assert not isinstance(e, KeyboardInterrupt)
     assert "1" in seen_env, "the RANDOM_WEIGHTS block never ran — vacuous test"
     assert os.environ.get("FADTK_TPU_RANDOM_WEIGHTS") is None
+
+
+def _htsat_relevant_laion(k):
+    k = k.removeprefix("module.")
+    return (
+        k.startswith(("audio_branch.", "audio_projection.", "audio_model."))
+        and "spectrogram_extractor" not in k
+        and "logmel_extractor" not in k
+        and ".tscam_conv." not in k
+        and not k.startswith("audio_branch.head.")
+    )
+
+
+def test_laion_pt_converter_covers_published_inventory():
+    """The ORIGINAL laion_clap .pt schema (module.audio_branch.* fused-qkv
+    HTSAT + Sequential audio_projection), transcribed from the published
+    laion_clap source — the checkpoints the reference actually downloads
+    (fadtk/model_loader.py:300-310). Complements the HF-tree test above."""
+    from fadtk_tpu.models.htsat import HTSAT_TINY, init_htsat_params
+    from fadtk_tpu.weights.clap import convert_clap_audio
+    from fadtk_tpu.weights.schemas import laion_clap_pt_schema
+
+    dry_run_convert(
+        "clap-laion-audio(.pt)",
+        laion_clap_pt_schema("HTSAT-tiny"),
+        lambda sd: convert_clap_audio(sd, HTSAT_TINY),
+        relevant=_htsat_relevant_laion,
+        reference_params=init_htsat_params(
+            HTSAT_TINY, jax.random.PRNGKey(0), projection_dim=512
+        ),
+    )
+
+
+def test_laion_pt_base_geometry():
+    """HTSAT-base (clap-laion-music) converts from the scaled inventory."""
+    from fadtk_tpu.models.htsat import HTSAT_BASE, init_htsat_params
+    from fadtk_tpu.weights.clap import convert_clap_audio
+    from fadtk_tpu.weights.schemas import laion_clap_pt_schema
+
+    dry_run_convert(
+        "clap-laion-music(.pt)",
+        laion_clap_pt_schema("HTSAT-base"),
+        lambda sd: convert_clap_audio(sd, HTSAT_BASE),
+        relevant=_htsat_relevant_laion,
+        reference_params=init_htsat_params(
+            HTSAT_BASE, jax.random.PRNGKey(0), projection_dim=512
+        ),
+    )
+
+
+def test_msclap_converter_covers_published_inventory(monkeypatch):
+    """clap-2023 against the transcribed msclap source schema (VERDICT r2 #5):
+    audio_encoder.base.htsat.* tower + the BIAS-FREE Projection head."""
+    from fadtk_tpu.models.clap_ms import MSCLAPModel
+    from fadtk_tpu.weights.clap import convert_msclap_audio
+    from fadtk_tpu.weights.schemas import msclap_2023_audio_schema
+
+    monkeypatch.setenv("FADTK_TPU_RANDOM_WEIGHTS", "1")
+    ref = MSCLAPModel()
+    ref.load_model()
+
+    def relevant(k):
+        k = k.removeprefix("module.")
+        return (
+            k.startswith("audio_encoder.")
+            and "spectrogram" not in k
+            and "logmel_extractor" not in k
+            and ".tscam_conv." not in k
+            and ".htsat.head." not in k
+        )
+
+    dry_run_convert(
+        "clap-2023",
+        msclap_2023_audio_schema(),
+        lambda sd: convert_msclap_audio(sd, ref.cfg),
+        relevant=relevant,
+        reference_params=ref.params,
+    )
+
+
+def test_msclap_projection_is_bias_free():
+    """Guard the distinctive msclap detail: Projection linears carry no bias
+    (nn.Linear(..., bias=False) in msclap/models/clap.py). A converter that
+    assumes biases would KeyError on the real checkpoint."""
+    from fadtk_tpu.weights.schemas import msclap_2023_audio_schema
+
+    schema = msclap_2023_audio_schema()
+    assert "audio_encoder.projection.linear1.weight" in schema
+    assert "audio_encoder.projection.linear1.bias" not in schema
+    assert "audio_encoder.projection.linear2.bias" not in schema
+    assert "audio_encoder.projection.layer_norm.bias" in schema
+
+
+def test_vggish_converter_covers_published_inventory():
+    """vggish (torch.hub harritaylor/torchvggish) against the transcribed
+    inventory (VERDICT r2 #9)."""
+    from fadtk_tpu.models.vggish import init_vggish_params
+    from fadtk_tpu.weights.schemas import vggish_schema
+    from fadtk_tpu.weights.vggish import convert_vggish
+
+    dry_run_convert(
+        "vggish",
+        vggish_schema(),
+        lambda sd: convert_vggish(sd),
+        relevant=lambda k: True,
+        reference_params=init_vggish_params(jax.random.PRNGKey(0)),
+    )
