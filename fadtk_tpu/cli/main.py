@@ -46,7 +46,9 @@ def main() -> None:
                          "unseeded; we default to 0 for reproducibility)")
     ap.add_argument("--device-scoring", action="store_true",
                     help="run the FAD-inf sweep / per-song scoring on the "
-                         "accelerator (float32 Newton-Schulz fast mode)")
+                         "accelerator (float32 Newton-Schulz fast mode); "
+                         "sweep steps and song batches dp-shard over all "
+                         "local chips (--devices to restrict)")
     ap.add_argument("--frechet-method", type=str, default="eigh",
                     choices=["eigh", "reference", "newton_schulz"],
                     help="sqrtm evaluator: f64 eigh (default), the reference's "
@@ -114,8 +116,13 @@ def main() -> None:
             raise SystemExit(f"{model.name}: {e}")
         _report(args, model, baseline, eval_, score, None)
         return
-    if args.tp != 1 or args.devices is not None or args.multihost:
-        raise SystemExit("--tp/--devices/--multihost require --device-pipeline")
+    if args.tp != 1 or args.multihost or (
+        args.devices is not None and not args.device_scoring
+    ):
+        raise SystemExit(
+            "--tp/--multihost require --device-pipeline "
+            "(--devices also composes with --device-scoring)"
+        )
 
     # 1. Cache embeddings for both datasets.
     for d in [baseline, eval_]:
@@ -123,12 +130,18 @@ def main() -> None:
             cache_embedding_files(d, model, workers=args.workers)
 
     # 2. Score.
+    scoring_mesh = None
+    if args.device_scoring:
+        from ..parallel.mesh import make_mesh
+
+        scoring_mesh = make_mesh(args.devices)
     fad = FrechetAudioDistance(
         model,
         audio_load_worker=args.workers,
         load_model=False,
         frechet_method=args.frechet_method,
         device_scoring=args.device_scoring,
+        scoring_mesh=scoring_mesh,
     )
     inf_r2 = None
     if args.inf:

@@ -76,30 +76,41 @@ def kaiser_sinc_kernel(
 def _resample_device(x: jax.Array, sr_in: int, sr_out: int) -> jax.Array:
     """Resample a batch (B, T) of waveforms on device.
 
-    Strided conv == framed GEMM: XLA tiles the (K, new) filter matmul onto the
-    MXU; the same compiled kernel serves every clip of the same padded length.
+    Formulated as explicit framing + ONE GEMM (like the mel frontend,
+    dsp/mel.py) rather than a strided conv: common audio ratios make the conv
+    degenerate — 44.1k->16k is stride 441 with a 1256-tap kernel, which XLA's
+    TPU conv path compiles pathologically (measured: the compile hangs for
+    minutes on the real chip; the framed GEMM compiles in seconds and runs on
+    the MXU). Window j covers input [j*orig, j*orig + K); stacking
+    ceil(K/orig) shifted reshapes of the padded signal materializes the
+    (B, n_blocks, K) frame tensor, then (K, new) filters apply as a single
+    matmul.
     """
     kernels, width, orig, new = kaiser_sinc_kernel(sr_in, sr_out)
-    k = jnp.asarray(kernels)  # (new, K)
+    kt = jnp.asarray(kernels).T  # (K, new)
+    taps = kt.shape[0]
 
     b, length = x.shape
     x = jnp.pad(x, ((0, 0), (width, width + orig)))
-    # Frame into windows of K taps at stride `orig`: (B, n_blocks, K).
-    n_blocks = (x.shape[1] - k.shape[1]) // orig + 1
-    out = jax.lax.conv_general_dilated(
-        x[:, None, :],  # (B, C=1, T)
-        k[:, None, :],  # (O=new, I=1, K)
-        window_strides=(orig,),
-        padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
+    n_blocks = (x.shape[1] - taps) // orig + 1
+    n_stack = -(-taps // orig)  # ceil: shifted orig-blocks covering K taps
+    need = (n_blocks + n_stack) * orig
+    x = jnp.pad(x, ((0, 0), (0, max(0, need - x.shape[1]))))
+    parts = [
+        x[:, i * orig : (i + n_blocks) * orig].reshape(b, n_blocks, orig)
+        for i in range(n_stack)
+    ]
+    windows = jnp.concatenate(parts, axis=-1)[:, :, :taps]  # (B, nb, K)
+    out = jnp.einsum(
+        "bnk,kp->bnp",
+        windows,
+        kt,
         preferred_element_type=jnp.float32,
         # True f32 accumulation: the TPU default (bf16 MXU passes) would put
         # ~1e-3 relative error on samples that a 16-bit PCM quantization
         # follows (needs ~3e-5). The filter is tiny; HIGHEST costs nothing.
         precision=jax.lax.Precision.HIGHEST,
-    )  # (B, new, n_blocks)
-    del n_blocks
-    out = jnp.transpose(out, (0, 2, 1)).reshape(b, -1)  # interleave phases
+    ).reshape(b, -1)  # phases interleave along the last axis
     target_len = int(math.ceil(new * length / orig))
     return out[:, :target_len]
 

@@ -44,9 +44,13 @@ def _sqrt_psd_eigh(m: jax.Array) -> jax.Array:
     return (u * jnp.sqrt(jnp.clip(ev, 0.0, None))) @ u.T
 
 
-@partial(jax.jit, static_argnames=("steps",))
-def _fad_inf_scan(mu1, cov1, embeds, ns, key, steps: int):
-    """embeds: (N, D) f32; ns: (steps,) i32. Returns (steps,) FAD scores."""
+def _fad_inf_steps(mu1, cov1, embeds, ns, keys):
+    """embeds: (N, D) f32; ns/keys: (steps,). Returns (steps,) FAD scores.
+
+    Pure scan body shared by the single-device jit and the dp-sharded
+    shard_map (steps are mutually independent, so the sweep splits across the
+    mesh's dp axis with embeds replicated — each chip scans its slice of the
+    ns grid with the SAME per-step PRNG keys, so sharded == single-device)."""
     n_total, d = embeds.shape
     max_n = n_total
     s1 = _sqrt_psd_eigh(cov1)
@@ -76,9 +80,29 @@ def _fad_inf_scan(mu1, cov1, embeds, ns, key, steps: int):
         fad = jnp.dot(diff, diff) + tr1 + jnp.trace(cov2) - 2.0 * tr_sqrt
         return carry, fad
 
-    keys = jax.random.split(key, steps)
     _, fads = jax.lax.scan(step, None, (ns, keys))
     return fads
+
+
+_fad_inf_scan = jax.jit(_fad_inf_steps)
+
+
+def _fad_inf_sharded(mesh):
+    """Sweep steps sharded over the mesh's dp axis (embeds replicated)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    return jax.jit(
+        shard_map(
+            _fad_inf_steps,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P("dp"), P("dp")),
+            out_specs=P("dp"),
+            # No collectives inside; independence per step is the invariant
+            # (tests pin sharded == single-device).
+            check_vma=False,
+        )
+    )
 
 
 def fad_inf_device(
@@ -88,23 +112,34 @@ def fad_inf_device(
     steps: int = 25,
     min_n: int = 500,
     seed: int = 0,
+    mesh=None,
 ) -> tuple[float, float, float, list[tuple[int, float]]]:
     """Device FAD-inf sweep. Returns (score, slope, r2, points) — the same
-    1/n linear extrapolation as the reference (fadtk/fad.py:343-351)."""
+    1/n linear extrapolation as the reference (fadtk/fad.py:343-351).
+
+    ``mesh``: optional (dp, tp) Mesh — the 25 sweep steps split across dp
+    chips (each holds a replica of the frame matrix), same keys per step so
+    scores match the single-device sweep."""
     max_n = len(embeds)
     ns = np.array([int(n) for n in np.linspace(min_n, max_n, steps)], np.int32)
+    keys = jax.random.split(jax.random.PRNGKey(seed), steps)
 
-    fads = np.asarray(
-        _fad_inf_scan(
-            jnp.asarray(mu_base, jnp.float32),
-            jnp.asarray(cov_base, jnp.float32),
-            jnp.asarray(np.asarray(embeds), jnp.float32),
-            jnp.asarray(ns),
-            jax.random.PRNGKey(seed),
-            steps=steps,
-        ),
-        dtype=np.float64,
+    args = (
+        jnp.asarray(mu_base, jnp.float32),
+        jnp.asarray(cov_base, jnp.float32),
+        jnp.asarray(np.asarray(embeds), jnp.float32),
     )
+    if mesh is not None and mesh.shape["dp"] > 1:
+        dp = mesh.shape["dp"]
+        pad = (-steps) % dp
+        ns_p = np.concatenate([ns, np.repeat(ns[-1:], pad)]).astype(np.int32)
+        keys_p = jnp.concatenate([keys, jnp.repeat(keys[-1:], pad, axis=0)])
+        fads = np.asarray(
+            _fad_inf_sharded(mesh)(*args, jnp.asarray(ns_p), keys_p)[:steps],
+            dtype=np.float64,
+        )
+    else:
+        fads = np.asarray(_fad_inf_scan(*args, jnp.asarray(ns), keys), np.float64)
 
     xs = 1.0 / ns.astype(np.float64)
     slope, intercept = np.polyfit(xs, fads, 1)
@@ -168,11 +203,25 @@ class PerSongScorer:
         cov_base: np.ndarray,
         batch_size: int = 16,
         len_bucket: int = 128,
+        mesh=None,
     ):
+        """``mesh``: optional (dp, tp) Mesh — songs within a batch shard over
+        the dp axis (per-song math is independent, so sharded == single-device
+        scores); the per-dispatch batch scales to batch_size x dp."""
         self.mu1 = jnp.asarray(mu_base, jnp.float32)
         cov1 = jnp.asarray(cov_base, jnp.float32)
         self.s1 = _sqrt_psd_eigh(cov1)
         self.tr1 = jnp.trace(cov1)
+        self.mesh = mesh if (mesh is not None and mesh.shape["dp"] > 1) else None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(self.mesh, P())
+            self._data_sharding = NamedSharding(self.mesh, P("dp"))
+            self.mu1 = jax.device_put(self.mu1, rep)
+            self.s1 = jax.device_put(self.s1, rep)
+            self.tr1 = jax.device_put(self.tr1, rep)
+            batch_size *= self.mesh.shape["dp"]
         self.batch_size = batch_size
         self.len_bucket = len_bucket
 
@@ -189,9 +238,11 @@ class PerSongScorer:
             for j, e in enumerate(group):
                 frames[j, : e.shape[0]] = np.asarray(e, np.float16)
                 masks[j, : e.shape[0]] = 1.0
-            out = _per_song_batch(
-                self.mu1, self.s1, self.tr1, jnp.asarray(frames), jnp.asarray(masks)
-            )
+            frames, masks = jnp.asarray(frames), jnp.asarray(masks)
+            if self.mesh is not None:
+                frames = jax.device_put(frames, self._data_sharding)
+                masks = jax.device_put(masks, self._data_sharding)
+            out = _per_song_batch(self.mu1, self.s1, self.tr1, frames, masks)
             scores[start : start + len(group)] = np.asarray(
                 out[: len(group)], np.float64
             )

@@ -73,6 +73,58 @@ def merge_partial_stats(
     return mu, s, n + n_b
 
 
+def merge_partial_stats_device(state, mu_b, m2_or_cov_b, n_b, b_is_cov: bool = False):
+    """Device-resident Chan merge chain (same formula as above, float32).
+
+    Keeping the running (mu, M2, n) ON DEVICE makes the accumulation loop
+    fully asynchronous: the host never fetches per-batch partials, so decode
+    threads and device embedding steps overlap through jax's dispatch queue
+    (one final fetch syncs at the end). ``state=None`` starts the chain.
+    ``b_is_cov=True`` accepts a finalized covariance for the incoming partial
+    (the sharded speech step's output) and rescales to M2 inside the same jit
+    — no extra dispatch. The host float64 chain remains the parity path; this
+    one serves the device pipeline whose contract is float32 accumulation.
+    """
+    import jax
+    import jax.numpy as jnp
+    from functools import partial as _partial
+
+    global _merge_jit
+    if _merge_jit is None:
+
+        @_partial(jax.jit, static_argnames=("b_is_cov",))
+        def _merge(mu_a, m2_a, n_a, mu_b, m2_b, n_b, b_is_cov):
+            mu_b = mu_b.astype(jnp.float32)
+            m2_b = m2_b.astype(jnp.float32)
+            n_b = n_b.astype(jnp.float32)
+            if b_is_cov:
+                m2_b = m2_b * jnp.maximum(n_b - 1.0, 0.0)
+            n = n_a + n_b
+            safe = jnp.maximum(n, 1.0)
+            delta = mu_b - mu_a
+            mu = mu_a + delta * (n_b / safe)
+            m2 = m2_a + m2_b + jnp.outer(delta, delta) * (n_a * n_b / safe)
+            return mu, m2, n
+
+        _merge_jit = _merge
+
+    if state is None:
+        # Zero state placed like the incoming partial (which may be
+        # mesh-replicated) so the chain never mixes device placements.
+        d = mu_b.shape[0]
+        sharding = getattr(mu_b, "sharding", None)
+        place = (lambda x: jax.device_put(x, sharding)) if sharding else (lambda x: x)
+        state = (
+            place(jnp.zeros((d,), jnp.float32)),
+            place(jnp.zeros((d, d), jnp.float32)),
+            place(jnp.zeros((), jnp.float32)),
+        )
+    return _merge_jit(*state, mu_b, m2_or_cov_b, n_b, b_is_cov=b_is_cov)
+
+
+_merge_jit = None
+
+
 def calculate_embd_statistics_online(
     files: Sequence[PathLike],
 ) -> tuple[np.ndarray, np.ndarray]:

@@ -37,7 +37,19 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..metric.stats import merge_partial_stats
+from ..metric.stats import merge_partial_stats_device
+
+
+def _finalize_device_state(state, d: int) -> tuple[np.ndarray, np.ndarray, int]:
+    """Fetch the device (mu, M2, n) chain once and finalize to (mu, cov, n)."""
+    if state is None:
+        return np.zeros(d), np.zeros((d, d)), 0
+    mu = np.asarray(state[0], np.float64)
+    s = np.asarray(state[1], np.float64)
+    n = int(np.asarray(state[2]))
+    if n < 2:
+        return mu, np.zeros((d, d)), n
+    return mu, s / (n - 1), n
 
 
 @dataclass
@@ -89,10 +101,11 @@ def make_dp_chunk_stats_step(mesh, spec: DpChunkSpec):
     params_rep = jax.device_put(spec.params, rep)
 
     def run(weights: np.ndarray, *chunks: np.ndarray):
+        """Returns the (mu, M2, n) partial as DEVICE arrays — callers chain
+        them with merge_partial_stats_device so dispatches stay async."""
         w = jax.device_put(jnp.asarray(weights), data)
         arrs = [jax.device_put(jnp.asarray(c), data) for c in chunks]
-        mu, m2, n = step(params_rep, w, *arrs)
-        return np.asarray(mu, np.float64), np.asarray(m2, np.float64), float(n)
+        return step(params_rep, w, *arrs)
 
     return run
 
@@ -150,9 +163,7 @@ def dp_whole_clip_dataset_stats(
     step = make_dp_chunk_stats_step(mesh, spec)
 
     d = spec.num_features
-    mu = np.zeros(d)
-    s = np.zeros((d, d))
-    n = 0
+    state = None  # device-resident (mu, M2, n) chain — dispatches stay async
 
     groups: dict[tuple, list[np.ndarray]] = defaultdict(list)
     n_buffered = 0
@@ -160,7 +171,7 @@ def dp_whole_clip_dataset_stats(
     warned_shapes = False
 
     def dispatch(rows: list[np.ndarray]):
-        nonlocal mu, s, n
+        nonlocal state
         taken = len(rows)
         pad = (-taken) % dp
         weights = np.ones((taken,), np.float32)
@@ -168,8 +179,7 @@ def dp_whole_clip_dataset_stats(
             rows = rows + [np.zeros_like(rows[0])] * pad
             weights = np.concatenate([weights, np.zeros((pad,), np.float32)])
         mu_b, m2_b, n_b = step(weights, np.stack(rows))
-        if n_b >= 1:
-            mu, s, n = merge_partial_stats(mu, s, n, mu_b, m2_b, int(n_b))
+        state = merge_partial_stats_device(state, mu_b, m2_b, n_b)
 
     for clip in clips_iter:
         c = spec.prepare(np.asarray(clip))
@@ -196,9 +206,7 @@ def dp_whole_clip_dataset_stats(
         if bucket:
             dispatch(bucket)
 
-    if n < 2:
-        return mu, np.zeros_like(s), n
-    return mu, s / (n - 1), n
+    return _finalize_device_state(state, d)
 
 
 def dp_chunk_dataset_stats(
@@ -220,17 +228,16 @@ def dp_chunk_dataset_stats(
         batch = spec.preferred_batch * dp
     assert batch % dp == 0, f"batch {batch} must divide dp={dp}"
     step = make_dp_chunk_stats_step(mesh, spec)
+    rep = NamedSharding(mesh, P())
 
     d = spec.num_features
-    mu = np.zeros(d)
-    s = np.zeros((d, d))
-    n = 0
+    state = None  # device-resident (mu, M2, n) chain — dispatches stay async
 
     pending: list[tuple] = []  # per-chunk tuples of arrays
     n_pending = 0
 
     def flush(force: bool):
-        nonlocal pending, n_pending, mu, s, n
+        nonlocal pending, n_pending, state
         while n_pending >= batch or (force and n_pending):
             take, taken = [], 0
             while taken < batch and pending:
@@ -255,8 +262,7 @@ def dp_chunk_dataset_stats(
                 ]
                 weights = np.concatenate([weights, np.zeros((pad,), np.float32)])
             mu_b, m2_b, n_b = step(weights, *parts)
-            if n_b >= 1:
-                mu, s, n = merge_partial_stats(mu, s, n, mu_b, m2_b, int(n_b))
+            state = merge_partial_stats_device(state, mu_b, m2_b, n_b)
 
     for clip in clips_iter:
         clip = np.asarray(clip)
@@ -267,13 +273,18 @@ def dp_chunk_dataset_stats(
         if spec.tail is not None:
             frames = spec.tail(clip)
             if frames is not None and frames.shape[0]:
-                f = frames.astype(np.float16).astype(np.float64)
-                mu_t = f.mean(0)
+                f = frames.astype(np.float16).astype(np.float32)
+                mu_t = f.mean(0, dtype=np.float32)
                 m2_t = (f - mu_t).T @ (f - mu_t)
-                mu, s, n = merge_partial_stats(mu, s, n, mu_t, m2_t, f.shape[0])
+                # Placed mesh-replicated like the step outputs so the merge
+                # chain never mixes device placements.
+                state = merge_partial_stats_device(
+                    state,
+                    jax.device_put(jnp.asarray(mu_t), rep),
+                    jax.device_put(jnp.asarray(m2_t), rep),
+                    jax.device_put(jnp.asarray(np.float32(f.shape[0])), rep),
+                )
         flush(force=False)
     flush(force=True)
 
-    if n < 2:
-        return mu, np.zeros_like(s), n
-    return mu, s / (n - 1), n
+    return _finalize_device_state(state, d)

@@ -33,7 +33,7 @@ from typing import Sequence
 
 import numpy as np
 
-from ..metric.stats import merge_partial_stats
+from ..metric.stats import merge_partial_stats_device
 from ..models.base import EmbeddingModel
 from ..models.speech.family import BUCKET_SECONDS, SpeechEmbeddingModel
 from ..parallel.tp import make_sharded_eval_step
@@ -84,10 +84,11 @@ def dataset_stats_device(
     # decode + IO only.
     loader = ClipLoader(model, workers=workers)
 
-    mu = np.zeros(model.num_features)
-    s = np.zeros((model.num_features, model.num_features))
-    n = 0
-
+    # The running (mu, M2, n) stays ON DEVICE (merge_partial_stats_device):
+    # the loop never fetches per-batch partials, so every step/merge dispatch
+    # queues asynchronously and the next window's host decode overlaps device
+    # compute. One fetch at the end syncs the chain.
+    state = None
     clips_iter = loader.iter_clips(files)
     while True:
         clips = [
@@ -103,14 +104,16 @@ def dataset_stats_device(
             audio[j, : c.shape[0]] = c
             num_valid[j] = c.shape[0]
         mu_b, cov_b, n_b = step(model.params, audio, num_valid)
-        n_b = float(n_b)
-        if n_b < 1:
-            continue
-        s_b = np.asarray(cov_b, np.float64) * max(n_b - 1.0, 0.0)
-        mu, s, n = merge_partial_stats(
-            mu, s, n, np.asarray(mu_b, np.float64), s_b, int(n_b)
-        )
+        # Empty/padded batches fold in exactly: n_b=0 contributes nothing
+        # (welford_finalize's guarded denom keeps cov_b finite).
+        state = merge_partial_stats_device(state, mu_b, cov_b, n_b, b_is_cov=True)
 
+    if state is None:
+        d = model.num_features
+        return np.zeros(d), np.zeros((d, d)), 0
+    mu = np.asarray(state[0], np.float64)
+    s = np.asarray(state[1], np.float64)
+    n = int(np.asarray(state[2]))
     if n < 2:
         return mu, np.zeros_like(s), n
     return mu, s / (n - 1), n

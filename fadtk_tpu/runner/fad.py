@@ -84,14 +84,19 @@ class FrechetAudioDistance:
         load_model: bool = True,
         frechet_method: str = "eigh",
         device_scoring: bool = False,
+        scoring_mesh=None,
     ):
         """``device_scoring=True`` runs the FAD-inf sweep and per-song scoring
         on the accelerator (float32 Newton-Schulz; ~1e-3 relative vs the host
-        float64 parity path — see metric/device_scoring.py)."""
+        float64 parity path — see metric/device_scoring.py).
+        ``scoring_mesh``: optional (dp, tp) Mesh for those loops — the FAD-inf
+        sweep steps and per-song batches shard over dp (sharded ==
+        single-device scores; tested)."""
         self.ml = ml
         self.audio_load_worker = audio_load_worker
         self.frechet_method = frechet_method
         self.device_scoring = device_scoring
+        self.scoring_mesh = scoring_mesh
         if load_model:
             self.ml.ensure_loaded()
 
@@ -268,7 +273,8 @@ class FrechetAudioDistance:
             from ..metric.device_scoring import fad_inf_device
 
             score, slope, r2, points = fad_inf_device(
-                mu_base, cov_base, embeds, steps=steps, min_n=min_n, seed=seed
+                mu_base, cov_base, embeds, steps=steps, min_n=min_n, seed=seed,
+                mesh=self.scoring_mesh,
             )
             return FADInfResults(score=score, slope=slope, r2=r2, points=points)
 
@@ -327,7 +333,7 @@ class FrechetAudioDistance:
 
             # Stream file windows through a factored-once baseline: RAM stays
             # bounded by the window, not the dataset (10k+ file datasets).
-            scorer = PerSongScorer(mu, cov)
+            scorer = PerSongScorer(mu, cov, mesh=self.scoring_mesh)
             window = 256
             pairs: list[tuple[Path, float]] = []
             for start in range(0, len(files), window):

@@ -169,3 +169,45 @@ def test_per_song_frame_dense_uses_dxd_gram():
         mu2, cov2 = calc_embd_statistics(song.astype(np.float64))
         host = frechet_distance(mu1, cov1, mu2, cov2)
         np.testing.assert_allclose(s, host, rtol=2e-3, atol=2e-3)
+
+
+def test_fad_inf_sharded_matches_single_device():
+    """The FAD-inf sweep dp-sharded over the 8-device mesh == the
+    single-device scan (same per-step PRNG keys; VERDICT r2 #7)."""
+    from fadtk_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(3)
+    d = 24
+    base = rng.standard_normal((600, d)).astype(np.float32)
+    mu_b, cov_b = calc_embd_statistics(base)
+    embeds = (rng.standard_normal((900, d)) * 1.1 + 0.2).astype(np.float32)
+
+    single = fad_inf_device(mu_b, cov_b, embeds, steps=10, min_n=50, seed=7)
+    sharded = fad_inf_device(
+        mu_b, cov_b, embeds, steps=10, min_n=50, seed=7, mesh=make_mesh(8)
+    )
+    # steps=10 over dp=8 also exercises the ns/keys padding branch.
+    np.testing.assert_allclose(single[0], sharded[0], rtol=1e-5)
+    for (n1, f1), (n2, f2) in zip(single[3], sharded[3]):
+        assert n1 == n2
+        np.testing.assert_allclose(f1, f2, rtol=1e-4)
+
+
+def test_per_song_sharded_matches_single_device():
+    """Per-song batches dp-sharded over the mesh == single-device scores."""
+    from fadtk_tpu.metric.device_scoring import PerSongScorer
+    from fadtk_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(4)
+    d = 16
+    base = rng.standard_normal((500, d)).astype(np.float32)
+    mu_b, cov_b = calc_embd_statistics(base)
+    songs = [
+        rng.standard_normal((int(n), d)).astype(np.float16)
+        for n in rng.integers(3, 80, size=21)  # ragged; not a multiple of 8
+    ]
+    single = PerSongScorer(mu_b, cov_b, batch_size=4).score_batch(songs)
+    sharded = PerSongScorer(
+        mu_b, cov_b, batch_size=2, mesh=make_mesh(8)
+    ).score_batch(songs)
+    np.testing.assert_allclose(single, sharded, rtol=1e-4, atol=1e-4)
