@@ -848,9 +848,68 @@ def bench_e2e(n_files: int = 128, seconds: int = 10, src_sr: int = 44100) -> dic
             os.environ["FADTK_TPU_RANDOM_WEIGHTS"] = saved_rw
 
 
+def run_selfcheck_gate(timeout_s: float | None = None) -> dict:
+    """Run the selfcheck golden gate (CLAUDE.md) on the DEFAULT backend — the
+    real TPU in the driver's round-end bench — and record its exit code.
+
+    The pytest suite pins the same numbers on the virtual CPU mesh; this is
+    the device-path twin (r2 verdict #8): deterministic random weights over
+    the reference opus clips, mad% < 5 against selfcheck/golden.csv, exit 2
+    on numeric regression. Runs as a subprocess with fresh caches; the full
+    report lands in .bench_cache/selfcheck.json.
+    """
+    import shutil
+    import subprocess
+    import sys
+    import tempfile
+
+    timeout_s = timeout_s or float(os.environ.get("FADTK_BENCH_SELFCHECK_S", "1500"))
+    repo = Path(__file__).parent
+    ref = Path(os.environ.get("FADTK_REF_TEST", "/root/reference/fadtk/test"))
+    clips = sorted((ref / "samples").glob("*.opus"))
+    sc = repo / "selfcheck"
+    if not clips or not (sc / "golden.csv").exists():
+        return {"selfcheck_exit": None, "selfcheck_note": "fixtures missing"}
+
+    with tempfile.TemporaryDirectory(prefix="fadtk_selfcheck_") as td:
+        samples = Path(td) / "samples"
+        samples.mkdir()
+        for f in clips:
+            shutil.copy(f, samples / f.name)
+        env = dict(os.environ, FADTK_TPU_RANDOM_WEIGHTS="1")
+        env["PYTHONPATH"] = os.pathsep.join(
+            [str(repo)] + [p for p in env.get("PYTHONPATH", "").split(os.pathsep) if p]
+        )
+        t0 = time.perf_counter()
+        try:
+            p = subprocess.run(
+                [sys.executable, "-m", "fadtk_tpu.test",
+                 "--samples", str(samples),
+                 "--golden", str(sc / "golden.csv"),
+                 "--baseline", str(sc / "baseline.npz"),
+                 "--out-dir", str(Path(td) / "scores")],
+                cwd=td, env=env, capture_output=True, text=True, timeout=timeout_s,
+            )
+            code, tail = p.returncode, (p.stdout + p.stderr)[-4000:]
+        except subprocess.TimeoutExpired:
+            code, tail = -9, f"timed out after {timeout_s}s"
+        out = {
+            "selfcheck_exit": code,
+            "selfcheck_elapsed_s": round(time.perf_counter() - t0, 1),
+        }
+        CACHE.parent.mkdir(exist_ok=True)
+        (CACHE.parent / "selfcheck.json").write_text(
+            json.dumps({**out, "tail": tail}, indent=2)
+        )
+        return out
+
+
 def main() -> None:
     import sys
 
+    if "--selfcheck" in sys.argv:
+        print(json.dumps(run_selfcheck_gate()))
+        return
     if "--e2e" in sys.argv:
         # Standalone mode: the module contract is ONE JSON line on stdout
         # (docstring) and the driver parses it; don't follow the e2e line
@@ -883,6 +942,16 @@ def main() -> None:
     }
     if families:
         line["families"] = families
+
+    # Device-path numeric gate (r2 verdict #8): exit 0 = golden scores
+    # reproduced on this backend; 2 = regression; -9 = timed out.
+    # FADTK_BENCH_SELFCHECK=0 skips.
+    if os.environ.get("FADTK_BENCH_SELFCHECK", "1") == "1":
+        try:
+            line.update(run_selfcheck_gate())
+        except Exception as e:
+            line["selfcheck_exit"] = None
+            line["selfcheck_note"] = str(e)[:200]
     print(json.dumps(line))
 
 
