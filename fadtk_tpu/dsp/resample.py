@@ -138,15 +138,36 @@ def resample_kaiser(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
     xp = np.pad(x, ((0, 0), (width, width + orig)))
     taps = kernels.shape[1]
     n_blocks = (xp.shape[1] - taps) // orig + 1
-    # (b, n_blocks, taps) strided view; GEMM chunks bound the materialized copy
-    # to ~32 MB so 3-minute 48 kHz clips don't balloon (taps/orig ~ 137 there).
-    windows = np.lib.stride_tricks.sliding_window_view(xp, taps, axis=1)[:, ::orig]
-    kt = kernels.T  # (taps, new)
-    out = np.empty((b, n_blocks * new), np.float32)
-    chunk = max(1, (1 << 23) // max(taps, 1))
-    for s in range(0, n_blocks, chunk):
-        e = min(s + chunk, n_blocks)
-        out[:, s * new : e * new] = (windows[:, s:e] @ kt).reshape(b, -1)
+    if taps > 8 * orig:
+        # Small-orig ratios (48k->24k, 44.1k->22.05k: orig=2, taps=274) make
+        # the window matrix a taps/orig ~ 137x data amplification — the GEMM
+        # path is copy-bound there (795 ms for 10 s at 48k->24k). Few phases
+        # (new <= orig) means per-phase overlap-add FFT convolution wins:
+        # y[m*new + p] = (xp * kernels[p])[m*orig + taps - 1]. ~8 ms for the
+        # same clip, identical math to FFT roundoff (~1e-7, far below the
+        # 16-bit PCM quantization that follows).
+        from scipy.signal import oaconvolve
+
+        out = np.empty((b, n_blocks * new), np.float32)
+        for p in range(new):
+            conv = oaconvolve(xp, kernels[p : p + 1, ::-1], axes=-1)
+            out[:, p::new] = conv[
+                :, taps - 1 : taps - 1 + n_blocks * orig : orig
+            ].astype(np.float32, copy=False)
+    else:
+        # (b, n_blocks, taps) strided view; GEMM chunks bound the materialized
+        # copy to ~32 MB. The explicit copy before each GEMM is load-bearing:
+        # numpy's matmul on the strided window VIEW falls off the BLAS path
+        # entirely (measured 180 ms for a 10 s 44.1k->16k clip vs 6.8 ms for
+        # copy+sgemm on the same data — round 3).
+        windows = np.lib.stride_tricks.sliding_window_view(xp, taps, axis=1)[:, ::orig]
+        kt = kernels.T  # (taps, new)
+        out = np.empty((b, n_blocks * new), np.float32)
+        chunk = max(1, (1 << 23) // max(taps, 1))
+        for s in range(0, n_blocks, chunk):
+            e = min(s + chunk, n_blocks)
+            block = np.ascontiguousarray(windows[:, s:e])
+            out[:, s * new : e * new] = (block @ kt).reshape(b, -1)
     target_len = int(math.ceil(new * length / orig))
     y = out[:, :target_len]
     return y[0] if squeeze else y
