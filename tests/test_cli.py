@@ -215,3 +215,23 @@ def test_mesh_flags_require_device_pipeline(tmp_path, monkeypatch):
     monkeypatch.setattr(sys, "argv", ["fadtk", "vggish", str(d), str(d), "--tp", "2"])
     with pytest.raises(SystemExit, match="require --device-pipeline"):
         main()
+
+
+def test_device_scoring_inf_cli_mesh(tmp_path, monkeypatch, capsys):
+    """`fadtk --inf --device-scoring` reaches the dp-sharded FAD-inf sweep
+    (metric/device_scoring.py) through the CLI: the scoring mesh spans the 8
+    virtual devices and the run produces a finite score row."""
+    from fadtk_tpu.cli.main import main
+
+    base = _make_dataset(tmp_path, "ib", 3, 21)
+    ev = _make_dataset(tmp_path, "ie", 6, 22)
+    csv = tmp_path / "inf.csv"
+    monkeypatch.setattr(
+        sys, "argv",
+        ["fadtk", "w2v2-base", str(base), str(ev), str(csv),
+         "--inf", "--device-scoring", "--seed", "3"],
+    )
+    main()
+    row = csv.read_text().splitlines()[1].split(",")
+    assert np.isfinite(float(row[3]))
+    assert np.isfinite(float(row[4]))  # inf_r2
