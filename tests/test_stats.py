@@ -135,3 +135,44 @@ def test_sharded_welford_equals_single_device():
     valid = x[mask > 0]
     np.testing.assert_allclose(np.asarray(mu), valid.mean(axis=0), atol=1e-5)
     np.testing.assert_allclose(np.asarray(cov), np.cov(valid, rowvar=False), atol=1e-4)
+
+
+def test_merge_partial_stats_device_matches_host():
+    """The device-resident Chan chain (merge_partial_stats_device) equals the
+    host float64 chain within float32 accumulation, including n=0 partials
+    and cov-input rescaling (b_is_cov=True)."""
+    import jax.numpy as jnp
+
+    from fadtk_tpu.metric.stats import (
+        merge_partial_stats,
+        merge_partial_stats_device,
+    )
+
+    rng = np.random.default_rng(0)
+    d = 6
+    mu_h = np.zeros(d)
+    s_h = np.zeros((d, d))
+    n_h = 0
+    state = None
+    for i in range(5):
+        n_b = [3, 0, 7, 1, 4][i]  # include empty and n=1 partials
+        x = rng.standard_normal((max(n_b, 1), d))
+        if n_b == 0:
+            mu_b, m2_b = np.zeros(d), np.zeros((d, d))
+        else:
+            mu_b = x[:n_b].mean(0)
+            m2_b = (x[:n_b] - mu_b).T @ (x[:n_b] - mu_b)
+        if n_b > 0:
+            mu_h, s_h, n_h = merge_partial_stats(mu_h, s_h, n_h, mu_b, m2_b, n_b)
+        cov_b = m2_b / max(n_b - 1, 1)
+        state = merge_partial_stats_device(
+            state,
+            jnp.asarray(mu_b, jnp.float32),
+            jnp.asarray(cov_b, jnp.float32),
+            jnp.asarray(float(n_b), jnp.float32),
+            b_is_cov=True,
+        )
+    mu_d, s_d, n_d = (np.asarray(x, np.float64) for x in state)
+    assert int(n_d) == n_h
+    np.testing.assert_allclose(mu_d, mu_h, atol=1e-5)
+    np.testing.assert_allclose(s_d, s_h, atol=1e-4)
