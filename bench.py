@@ -871,6 +871,18 @@ def run_selfcheck_gate(timeout_s: float | None = None) -> dict:
     if not clips or not (sc / "golden.csv").exists():
         return {"selfcheck_exit": None, "selfcheck_note": "fixtures missing"}
 
+    # Default to a 4-family cross-section (GEMM stack, conv stack, Swin,
+    # seq2seq) so the round-end bench stays inside its budget even on a
+    # slow-compile day; FADTK_BENCH_SELFCHECK_MODELS=all runs every golden
+    # family (the full gate is also what scripts/../--selfcheck records).
+    models_env = os.environ.get(
+        "FADTK_BENCH_SELFCHECK_MODELS",
+        "vggish w2v2-base encodec-emb-48k whisper-tiny",
+    )
+    model_args = [] if models_env.strip() == "all" else (
+        ["--models"] + models_env.split()
+    )
+
     with tempfile.TemporaryDirectory(prefix="fadtk_selfcheck_") as td:
         samples = Path(td) / "samples"
         samples.mkdir()
@@ -887,7 +899,7 @@ def run_selfcheck_gate(timeout_s: float | None = None) -> dict:
                  "--samples", str(samples),
                  "--golden", str(sc / "golden.csv"),
                  "--baseline", str(sc / "baseline.npz"),
-                 "--out-dir", str(Path(td) / "scores")],
+                 "--out-dir", str(Path(td) / "scores")] + model_args,
                 cwd=td, env=env, capture_output=True, text=True, timeout=timeout_s,
             )
             code, tail = p.returncode, (p.stdout + p.stderr)[-4000:]

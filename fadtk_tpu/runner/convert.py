@@ -11,6 +11,12 @@ exact — half the bytes over the link), the polyphase conv runs on the MXU
 (dsp/resample.py convert_device), and int16 PCM comes back, so the host does
 decode + IO only.
 
+Transport note: on the tunneled axon bench client, process RSS grows with
+total bytes ever shipped (CLAUDE.md); this path ships source-rate audio
+(int16 when PCM-exact — half the bytes), ~0.9 MB per 10 s 44.1k clip. Real
+PCIe-attached TPU hosts do not have that client bug; for very large datasets
+on the tunneled box, prefer the cached path (16 kHz int16 ships 3x less).
+
 Cache semantics: files whose converted wav already exists are read from the
 cache (bit-parity with the cached-embedding path); misses are converted
 in memory and do NOT write the cache — the device pipeline is the
