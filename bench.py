@@ -825,15 +825,17 @@ def bench_e2e(n_files: int = 128, seconds: int = 10, src_sr: int = 44100) -> dic
             ),
             "host_cpu_cores": os.cpu_count(),
             "note": (
-                "e2e_* = the caching path (host Kaiser resample ~90 ms/file "
-                "single-core + wav/npy writes - the price of bit-parity "
-                "caches). device_pipeline_* = scoring-only fast path: decode "
-                "on host, resample/quantize/embed/accumulate on device with "
-                "async dispatch chaining; its remaining gap to the decode "
-                "floor on THIS host is the tunneled link (~1.5 MB/clip of "
-                "int16 transfers at ~44 MB/s + per-dispatch RTT) - on a "
-                "PCIe-attached TPU host the same path is decode-bound. The "
-                "device forward alone benches at 4200+ audio-s/s"
+                "e2e_* = the caching path (host hybrid BLAS/FFT Kaiser "
+                "resample, ~8-10 ms per 10 s clip after the round-3 fix, + "
+                "wav/npy writes - the price of bit-parity caches). "
+                "device_pipeline_* = scoring-only fast path: decode on host, "
+                "resample/quantize/embed/accumulate on device with async "
+                "dispatch chaining. Both now sit within ~8x of the pure "
+                "decode floor on this single-core host; the residual is "
+                "decode+IO serialization and (for the device path) tunneled "
+                "link bytes (~1.5 MB/clip int16 at ~44 MB/s) that a "
+                "PCIe-attached TPU host would not pay. The device forward "
+                "alone benches at 4200+ audio-s/s"
             ),
         }
         cache_out = CACHE.parent / "e2e.json"
