@@ -401,10 +401,31 @@ def _family_cases():
         feats = jnp.asarray(
             rng.standard_normal((b, cfg.num_mel_bins, 3000)), jnp.float32
         ) * 0.5
+        # XLA cost_analysis does NOT multiply While-loop (scan) bodies by
+        # trip count — it reported 786 GFLOP/call for a model whose GEMM
+        # closed form is ~20.7 TF/call (round 3), deflating MFU 26x. Supply
+        # the analytic count: convs + encoder/decoder stacks + cross k/v
+        # over the 1500 encoder states (decoder runs 2 forced tokens).
+        d, h, te, td = cfg.d_model, cfg.encoder_heads, 1500, 2
+        enc_layer = (4 * te * d * d + 2 * te * te * d + 2 * te * d * cfg.encoder_ffn) * 2
+        dec_layer = (
+            (4 * td * d * d)            # self qkvo
+            + (2 * td * d * d)          # cross q/out
+            + (2 * te * d * d)          # cross k/v over encoder states
+            + (2 * td * d * cfg.decoder_ffn)
+        ) * 2
+        convs = (3000 * d * cfg.num_mel_bins * 3 + te * d * d * 3) * 2
+        flops = b * (
+            convs
+            + cfg.encoder_layers * enc_layer
+            + cfg.decoder_layers * dec_layer
+        )
         return fwd, params, (feats,), b * 30, (
             "BASELINE.json config 5; 1280x(32+32) stack, scan-over-layers "
-            "compile mode; every clip costs one fixed 30 s window"
-        )
+            "compile mode; every clip costs one fixed 30 s window; flops "
+            "are the analytic GEMM count (cost_analysis undercounts scan "
+            "bodies by the trip count)"
+        ), float(flops)
 
     def encodec_48k(dtype):
         from fadtk_tpu.models.encodec_impl import (
@@ -546,7 +567,9 @@ def bench_families(dtypes=("float32", "bfloat16")) -> dict:
                 continue
             dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
             try:
-                fwd, params, inputs, window_sec, note = build(dtype)
+                built = build(dtype)
+                fwd, params, inputs, window_sec, note = built[:5]
+                flops_override = built[5] if len(built) > 5 else None
 
                 # Honest tunneled-device timing: block_until_ready can return
                 # before remote completion on this client (measured: a 200x
@@ -562,6 +585,8 @@ def bench_families(dtypes=("float32", "bfloat16")) -> dict:
                 zero = jnp.float32(0.0)
                 compiled = jstep.lower(params, zero, *inputs).compile()
                 flops = float(compiled.cost_analysis().get("flops", 0.0))
+                if flops_override is not None:
+                    flops = flops_override
                 float(jstep(params, zero, *inputs))  # warm (fetch-synced)
 
                 trivial = jax.jit(lambda a: a + 1.0)
