@@ -495,7 +495,7 @@ def _family_cases():
     }
 
 
-def measure_matmul_roofline(dtypes=("float32", "bfloat16"), m=4096, n=20) -> dict:
+def measure_matmul_roofline(dtypes=("float32", "bfloat16"), m=None, n=20) -> dict:
     """Measured achievable GEMM rate (TF/s) per dtype on THIS device.
 
     Nominal peaks overstate what a tunneled/shared bench chip can actually
@@ -504,27 +504,37 @@ def measure_matmul_roofline(dtypes=("float32", "bfloat16"), m=4096, n=20) -> dic
     the 197 TF/s nominal bf16 peak underestimates how close a family runs to
     the machine's real ceiling. Each family entry therefore also reports
     ``pct_of_measured_roofline`` against the dtype-matched number measured
-    here (same honest fetch-synced timing as the family loop)."""
+    here (same honest fetch-synced timing as the family loop).
+
+    The rate is the BEST over a few matrix sizes per dtype: round 3 found
+    whisper-large bf16 running at 141% of the single-4096³ probe — proof one
+    shape can understate the achievable rate (bf16 tiles differently), which
+    would overstate every family's pct_of_measured_roofline denominator
+    honesty. Max-over-shapes keeps the denominator an upper envelope."""
     import jax
     import jax.numpy as jnp
 
+    sizes = (m,) if m else (4096, 6144, 8192)
     rng = np.random.default_rng(0)
     out = {}
     for dtype_name in dtypes:
         dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
-        a = jnp.asarray(rng.standard_normal((m, m)), dtype)
-        b = jnp.asarray(rng.standard_normal((m, m)), dtype)
+        best_tf = 0.0
+        for mm in sizes:
+            a = jnp.asarray(rng.standard_normal((mm, mm)), dtype)
+            b = jnp.asarray(rng.standard_normal((mm, mm)), dtype)
 
-        @jax.jit
-        def chain(a, b):
-            x = a
-            for _ in range(n):
-                x = (x @ b) * (1.0 / m)
-            return x.astype(jnp.float32).sum()
+            @jax.jit
+            def chain(a, b, mm=mm):
+                x = a
+                for _ in range(n):
+                    x = (x @ b) * (1.0 / mm)
+                return x.astype(jnp.float32).sum()
 
-        float(chain(a, b))  # compile + warm
-        best = min(_timed(lambda: float(chain(a, b))) for _ in range(3))
-        out[dtype_name] = round(2 * m * m * m * n / best / 1e12, 1)
+            float(chain(a, b))  # compile + warm
+            best = min(_timed(lambda: float(chain(a, b))) for _ in range(3))
+            best_tf = max(best_tf, 2 * mm * mm * mm * n / best / 1e12)
+        out[dtype_name] = round(best_tf, 1)
     return out
 
 
@@ -559,7 +569,10 @@ def bench_families(dtypes=("float32", "bfloat16")) -> dict:
     results: dict = {"device_kind": jax.devices()[0].device_kind, "peak_flops": peak}
     if measured_tf:
         results["measured_matmul_tf"] = measured_tf
+    only = os.environ.get("FADTK_BENCH_FAMILIES_ONLY", "").split()
     for name, build in _family_cases().items():
+        if only and name not in only:
+            continue
         results[name] = {}
         for dtype_name in dtypes:
             if time.perf_counter() - sweep_start > budget_s:

@@ -72,15 +72,15 @@ def _conv1d_same(x: jax.Array, kernel: jax.Array, bias: jax.Array, stride: int):
     Padding matches torch Conv1d(k, stride, padding=(k-1)//2): out length
     floor((T + 2p - k)/s) + 1 = ceil(T/s) for odd k.
     """
+    # ops/conv1d.py (channel-last twin): XLA conv by default (whole-model
+    # A/B winner); FADTK_TPU_CONV_LOWERING=gemm is the rescue for
+    # pathological remote conv compiles (see ops/conv1d.py docstring).
+    from ..ops.conv1d import conv1d_nlc
+
     k = kernel.shape[0]
     p = (k - 1) // 2
-    y = jax.lax.conv_general_dilated(
-        x,
-        kernel,
-        window_strides=(stride,),
-        padding=[(p, p)],
-        dimension_numbers=("NWC", "WIO", "NWC"),
-        preferred_element_type=x.dtype,
+    y = conv1d_nlc(
+        jnp.pad(x, ((0, 0), (p, p), (0, 0))), kernel, stride=stride
     )
     return y + bias
 

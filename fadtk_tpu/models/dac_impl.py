@@ -51,11 +51,16 @@ def _snake(x, alpha):
 
 
 def _conv(p, x, stride=1, dilation=1, padding=0):
-    return jax.lax.conv_general_dilated(
-        x, p["kernel"], window_strides=(stride,), padding=[(padding, padding)],
-        rhs_dilation=(dilation,), dimension_numbers=("NCH", "OIH", "NCH"),
-        preferred_element_type=x.dtype,
-    ) + p["bias"][None, :, None]
+    # ops/conv1d.py: XLA conv by default (whole-model A/B winner); the
+    # framed-GEMM lowering is the FADTK_TPU_CONV_LOWERING=gemm rescue for
+    # pathological remote conv compiles (see ops/conv1d.py docstring).
+    from ..ops.conv1d import conv1d_ncl
+
+    if padding:
+        x = jnp.pad(x, ((0, 0), (0, 0), (padding, padding)))
+    return conv1d_ncl(x, p["kernel"], stride=stride, dilation=dilation) + (
+        p["bias"][None, :, None]
+    )
 
 
 def _residual_unit(p, x, dilation):

@@ -125,11 +125,12 @@ def _conv_layer(cfg, p, x, k: int, stride: int, dil: int):
         pad_r = padding_total // 2
         x = _pad1d(x, padding_total - pad_r, pad_r + extra, cfg.pad_mode)
 
-    y = jax.lax.conv_general_dilated(
-        x, p["kernel"], window_strides=(stride,), padding="VALID",
-        rhs_dilation=(dil,), dimension_numbers=("NCH", "OIH", "NCH"),
-        preferred_element_type=x.dtype,
-    ) + p["bias"][None, :, None]
+    # ops/conv1d.py: XLA conv by default (whole-model A/B winner); the
+    # framed-GEMM lowering is the FADTK_TPU_CONV_LOWERING=gemm rescue for
+    # pathological remote conv compiles (see ops/conv1d.py docstring).
+    from ..ops.conv1d import conv1d_ncl
+
+    y = conv1d_ncl(x, p["kernel"], stride=stride, dilation=dil) + p["bias"][None, :, None]
 
     if cfg.norm_type == "time_group_norm":
         # GroupNorm(1, C): normalize over (C, T) jointly per sample.
