@@ -506,15 +506,18 @@ def measure_matmul_roofline(dtypes=("float32", "bfloat16"), m=None, n=20) -> dic
     ``pct_of_measured_roofline`` against the dtype-matched number measured
     here (same honest fetch-synced timing as the family loop).
 
-    The rate is the BEST over a few matrix sizes per dtype: round 3 found
-    whisper-large bf16 running at 141% of the single-4096³ probe — proof one
-    shape can understate the achievable rate (bf16 tiles differently), which
-    would overstate every family's pct_of_measured_roofline denominator
-    honesty. Max-over-shapes keeps the denominator an upper envelope."""
+    The rate is the BEST over a few matrix sizes per dtype, timed with the
+    SAME protocol as the family loop (multi-call chain with a data
+    dependency, ONE value fetch, measured RTT subtracted). Round 3 found the
+    original single-call-per-fetch probe at one 4096³ shape buried ~18 ms of
+    compute under ~28 ms of tunnel round-trip, reporting 66-70 TF/s where
+    the chip actually sustains ~190 TF/s (whisper-large bf16 'exceeding the
+    roofline' at 141% was the tell). An understated denominator overstates
+    every family's pct_of_measured_roofline."""
     import jax
     import jax.numpy as jnp
 
-    sizes = (m,) if m else (4096, 6144, 8192)
+    sizes = (m,) if m else (4096, 8192)
     rng = np.random.default_rng(0)
     out = {}
     for dtype_name in dtypes:
@@ -525,14 +528,27 @@ def measure_matmul_roofline(dtypes=("float32", "bfloat16"), m=None, n=20) -> dic
             b = jnp.asarray(rng.standard_normal((mm, mm)), dtype)
 
             @jax.jit
-            def chain(a, b, mm=mm):
-                x = a
+            def step(a, b, acc, mm=mm):
+                x = a * (1.0 + acc * 1e-30)  # chain: serialize on prior call
                 for _ in range(n):
                     x = (x @ b) * (1.0 / mm)
                 return x.astype(jnp.float32).sum()
 
-            float(chain(a, b))  # compile + warm
-            best = min(_timed(lambda: float(chain(a, b))) for _ in range(3))
+            zero = jnp.float32(0.0)
+            float(step(a, b, zero))  # compile + warm (fetch-synced)
+            trivial = jax.jit(lambda s: s + 1.0)
+            float(trivial(zero))
+            rtt = min(_timed(lambda: float(trivial(zero))) for _ in range(5))
+            est = max(_timed(lambda: float(step(a, b, zero))) - rtt, 1e-4)
+            iters = int(min(max(4, 0.5 / est), 64))
+            best = float("inf")
+            for _ in range(3):
+                acc = zero
+                t0 = time.perf_counter()
+                for _ in range(iters):
+                    acc = step(a, b, acc)
+                float(acc)  # one fetch syncs the whole chain
+                best = min(best, (time.perf_counter() - t0 - rtt) / iters)
             best_tf = max(best_tf, 2 * mm * mm * mm * n / best / 1e12)
         out[dtype_name] = round(best_tf, 1)
     return out

@@ -210,7 +210,9 @@ def _swin_block(cfg, p, x, dims, num_heads, shift):
     x = shortcut + y.reshape(b, h * w, c)
 
     z = _ln(x, p["layernorm_after"], cfg.layer_norm_eps)
-    z = jax.nn.gelu(z @ p["intermediate"]["kernel"] + p["intermediate"]["bias"], approximate=False)
+    from .precision import gelu
+
+    z = gelu(z @ p["intermediate"]["kernel"] + p["intermediate"]["bias"])
     z = z @ p["mlp_output"]["kernel"] + p["mlp_output"]["bias"]
     return x + z
 

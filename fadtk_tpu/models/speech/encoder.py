@@ -45,7 +45,11 @@ def scan_layers_enabled() -> bool:
 
 
 def _gelu(x):
-    return jax.nn.gelu(x, approximate=False)
+    # Exact erf in f32 (HF parity); tanh-approx in bf16 (precision.gelu —
+    # erf measured 52 ms of a 300 ms w2v2-base forward on the VPU).
+    from ..precision import gelu
+
+    return gelu(x)
 
 
 def _layer_norm(x, p, eps):

@@ -72,7 +72,10 @@ def _ln(x, p, eps):
 
 
 def _gelu(x):
-    return jax.nn.gelu(x, approximate=False)
+    # Exact erf in f32 (HF parity); tanh-approx in bf16 (precision.gelu).
+    from .precision import gelu
+
+    return gelu(x)
 
 
 def _attention(p, x, kv, num_heads, causal=False):
