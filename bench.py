@@ -866,6 +866,26 @@ def bench_e2e(n_files: int = 128, seconds: int = 10, src_sr: int = 44100) -> dic
         dataset_stats_device(model, fresh, batch=16)
         dp_wall = time.perf_counter() - t0
 
+        # Same pipeline with the host convert transport: cache-miss resample
+        # stays on the decode threads (bit-parity with the cached path) and
+        # only target-rate int16 crosses the link — ~0.32 vs ~1.5 MB/clip.
+        # Embedding executables are shape-identical, so no extra warmup.
+        fresh2 = root / "fresh2"
+        fresh2.mkdir()
+        for f in sorted(root.glob("clip*.wav")):
+            shutil.copy(f, fresh2 / f.name)
+        saved_tr = os.environ.get("FADTK_TPU_CONVERT_TRANSPORT")
+        os.environ["FADTK_TPU_CONVERT_TRANSPORT"] = "host"
+        try:
+            t0 = time.perf_counter()
+            dataset_stats_device(model, fresh2, batch=16)
+            hp_wall = time.perf_counter() - t0
+        finally:
+            if saved_tr is None:
+                os.environ.pop("FADTK_TPU_CONVERT_TRANSPORT", None)
+            else:
+                os.environ["FADTK_TPU_CONVERT_TRANSPORT"] = saved_tr
+
         out = {
             "e2e_files": n_files,
             "e2e_wall_s": round(wall, 2),
@@ -877,6 +897,13 @@ def bench_e2e(n_files: int = 128, seconds: int = 10, src_sr: int = 44100) -> dic
             "device_pipeline_vs_decode_floor": round(
                 (n_files * seconds / dp_wall) / decode_rate, 3
             ),
+            "host_transport_wall_s": round(hp_wall, 2),
+            "host_transport_audio_sec_per_sec": round(
+                n_files * seconds / hp_wall, 1
+            ),
+            "host_transport_vs_decode_floor": round(
+                (n_files * seconds / hp_wall) / decode_rate, 3
+            ),
             "host_cpu_cores": os.cpu_count(),
             "note": (
                 "e2e_* = the caching path (host hybrid BLAS/FFT Kaiser "
@@ -884,10 +911,11 @@ def bench_e2e(n_files: int = 128, seconds: int = 10, src_sr: int = 44100) -> dic
                 "wav/npy writes - the price of bit-parity caches). "
                 "device_pipeline_* = scoring-only fast path: decode on host, "
                 "resample/quantize/embed/accumulate on device with async "
-                "dispatch chaining. Both now sit within ~8x of the pure "
-                "decode floor on this single-core host; the residual is "
-                "decode+IO serialization and (for the device path) tunneled "
-                "link bytes (~1.5 MB/clip int16 at ~44 MB/s) that a "
+                "dispatch chaining. host_transport_* = the same pipeline with "
+                "FADTK_TPU_CONVERT_TRANSPORT=host: resample on the decode "
+                "threads (bit-parity with the cached path), ~0.32 instead of "
+                "~1.5 MB/clip over the link. The residual vs the pure decode "
+                "floor is decode+IO serialization and link bytes that a "
                 "PCIe-attached TPU host would not pay. The device forward "
                 "alone benches at 4200+ audio-s/s"
             ),

@@ -17,6 +17,16 @@ total bytes ever shipped (CLAUDE.md); this path ships source-rate audio
 PCIe-attached TPU hosts do not have that client bug; for very large datasets
 on the tunneled box, prefer the cached path (16 kHz int16 ships 3x less).
 
+``FADTK_TPU_CONVERT_TRANSPORT=host`` keeps the resample on the host instead
+(the decode threads run the same BLAS/FFT polyphase the cache writer uses,
+3-13 ms per 10 s clip since the round-3 rewrite) so only target-rate int16
+ever crosses the link (~0.32 MB vs ~1.5 MB per 10 s 44.1k clip for the
+device round-trip: source up + int16 down + embed re-up). Output is
+bit-identical to the cached path (same resample_kaiser + float_to_int16
+calls, minus the wav write). On link-bound hosts (tunneled; slow PCIe) this
+is the faster scoring transport; on multi-core PCIe hosts the device default
+keeps the host free for decode.
+
 Cache semantics: files whose converted wav already exists are read from the
 cache (bit-parity with the cached-embedding path); misses are converted
 in memory and do NOT write the cache — the device pipeline is the
@@ -73,20 +83,42 @@ class ClipLoader:
     path up to the documented resample LSB wiggle.
     """
 
-    def __init__(self, model, workers: int = 8):
+    def __init__(self, model, workers: int = 8, transport: str | None = None):
+        import os
+
         self.model = model
         self.workers = workers
+        self.transport = (
+            transport
+            if transport is not None
+            else os.environ.get("FADTK_TPU_CONVERT_TRANSPORT", "device")
+        )
+        if self.transport not in ("device", "host"):
+            raise ValueError(
+                f"FADTK_TPU_CONVERT_TRANSPORT must be 'device' or 'host', "
+                f"got {self.transport!r}"
+            )
 
     # ---------------------------------------------------------------- #
 
     def _probe(self, f: Path):
-        """Thread worker: cache hit -> ("hit", prepared); miss -> _Miss parts."""
+        """Thread worker: cache hit -> ("hit", prepared); miss -> _Miss parts
+        (device transport) or a host-converted hit (host transport)."""
         cache = get_convert_cache_path(self.model.sr, f)
         if cache.exists():
             return ("hit", self.model.load_wav(cache), None, None)
         from ..audio.decode import decode_audio
 
         x, src_sr = decode_audio(f)  # (channels, n) float32
+        if self.transport == "host":
+            # Same calls as the cache writer (fad.py load_audio) minus the
+            # wav write: bit-identical to the cached path, and only
+            # target-rate int16 ever crosses the link.
+            from ..audio.wavio import float_to_int16
+            from ..dsp.resample import resample_kaiser
+
+            y = resample_kaiser(np.mean(x, axis=0), int(src_sr), self.model.sr)
+            return ("hit", self.model.load_wav_array(float_to_int16(y)), None, None)
         mono = np.mean(x, axis=0).astype(np.float32)  # parity: fadtk/fad.py:150
         scaled = mono * 32768.0
         int16 = None

@@ -122,6 +122,33 @@ def test_clip_loader_miss_matches_host_convert(fresh_dataset, tmp_path):
         assert (diff > 0).mean() < 0.01
 
 
+def test_clip_loader_host_transport_bit_identical(fresh_dataset, tmp_path):
+    """FADTK_TPU_CONVERT_TRANSPORT=host: cache-miss clips are bit-identical to
+    the host convert-cache path (same resample_kaiser + float_to_int16 calls,
+    no wav write) — no device-resample LSB wiggle, and no device dispatches
+    in the convert stage at all."""
+    from fadtk_tpu.models.vggish import VGGishModel
+
+    model = VGGishModel()
+    files = sorted(fresh_dataset.glob("*.wav"))
+    ref = _host_loaded(model, files, tmp_path)
+    loader = ClipLoader(model, workers=2, transport="host")
+    got = list(loader.iter_clips(files))
+    assert not list(fresh_dataset.glob("convert/**/*.wav")), "miss path must not write caches"
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(r, g)
+
+
+def test_clip_loader_transport_env_and_validation(fresh_dataset, monkeypatch):
+    from fadtk_tpu.models.vggish import VGGishModel
+
+    monkeypatch.setenv("FADTK_TPU_CONVERT_TRANSPORT", "host")
+    assert ClipLoader(VGGishModel()).transport == "host"
+    monkeypatch.setenv("FADTK_TPU_CONVERT_TRANSPORT", "gemm")
+    with pytest.raises(ValueError):
+        ClipLoader(VGGishModel())
+
+
 def test_clip_loader_hit_is_bit_identical(fresh_dataset, tmp_path):
     """Once the convert cache exists, ClipLoader reads it — bit-for-bit the
     cached path."""
