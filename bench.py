@@ -860,23 +860,27 @@ def bench_e2e(n_files: int = 128, seconds: int = 10, src_sr: int = 44100) -> dic
         fresh.mkdir()
         for f in sorted(root.glob("clip*.wav")):
             shutil.copy(f, fresh / f.name)
-        # Warm the convert + eval-step executables on the warm dir's shapes.
-        dataset_stats_device(model, warm, batch=16)
-        t0 = time.perf_counter()
-        dataset_stats_device(model, fresh, batch=16)
-        dp_wall = time.perf_counter() - t0
-
-        # Same pipeline with the host convert transport: cache-miss resample
-        # stays on the decode threads (bit-parity with the cached path) and
-        # only target-rate int16 crosses the link — ~0.32 vs ~1.5 MB/clip.
-        # Embedding executables are shape-identical, so no extra warmup.
-        fresh2 = root / "fresh2"
-        fresh2.mkdir()
-        for f in sorted(root.glob("clip*.wav")):
-            shutil.copy(f, fresh2 / f.name)
+        # A/B both convert transports each round (this A/B is what flipped
+        # the default to "host" in round 3: 254 vs 130 audio-s/s here).
+        # Device transport: resample on the MXU, ~1.5 MB/clip over the link.
         saved_tr = os.environ.get("FADTK_TPU_CONVERT_TRANSPORT")
-        os.environ["FADTK_TPU_CONVERT_TRANSPORT"] = "host"
+        os.environ["FADTK_TPU_CONVERT_TRANSPORT"] = "device"
         try:
+            # Warm the convert + eval-step executables on the warm dir's shapes.
+            dataset_stats_device(model, warm, batch=16)
+            t0 = time.perf_counter()
+            dataset_stats_device(model, fresh, batch=16)
+            dp_wall = time.perf_counter() - t0
+
+            # Host transport (default): resample on the decode threads
+            # (bit-parity with the cached path), only target-rate int16
+            # (~0.32 MB/clip) crosses the link. Embedding executables are
+            # shape-identical, so no extra warmup.
+            fresh2 = root / "fresh2"
+            fresh2.mkdir()
+            for f in sorted(root.glob("clip*.wav")):
+                shutil.copy(f, fresh2 / f.name)
+            os.environ["FADTK_TPU_CONVERT_TRANSPORT"] = "host"
             t0 = time.perf_counter()
             dataset_stats_device(model, fresh2, batch=16)
             hp_wall = time.perf_counter() - t0
@@ -909,15 +913,16 @@ def bench_e2e(n_files: int = 128, seconds: int = 10, src_sr: int = 44100) -> dic
                 "e2e_* = the caching path (host hybrid BLAS/FFT Kaiser "
                 "resample, ~8-10 ms per 10 s clip after the round-3 fix, + "
                 "wav/npy writes - the price of bit-parity caches). "
-                "device_pipeline_* = scoring-only fast path: decode on host, "
-                "resample/quantize/embed/accumulate on device with async "
-                "dispatch chaining. host_transport_* = the same pipeline with "
-                "FADTK_TPU_CONVERT_TRANSPORT=host: resample on the decode "
-                "threads (bit-parity with the cached path), ~0.32 instead of "
-                "~1.5 MB/clip over the link. The residual vs the pure decode "
-                "floor is decode+IO serialization and link bytes that a "
-                "PCIe-attached TPU host would not pay. The device forward "
-                "alone benches at 4200+ audio-s/s"
+                "device_pipeline_* = the scoring-only pipeline with the "
+                "DEVICE convert transport (FADTK_TPU_CONVERT_TRANSPORT="
+                "device): resample/quantize on the MXU, ~1.5 MB/clip over "
+                "the link. host_transport_* = the same pipeline with the "
+                "default host transport: resample on the decode threads "
+                "(bit-parity with the cached path), ~0.32 MB/clip over the "
+                "link. The residual vs the pure decode floor is decode+IO "
+                "serialization and link bytes that a PCIe-attached TPU host "
+                "would not pay. The device forward alone benches at 4200+ "
+                "audio-s/s"
             ),
         }
         cache_out = CACHE.parent / "e2e.json"

@@ -64,7 +64,11 @@ def main() -> None:
                          "Gaussians entirely on the device mesh (all local "
                          "chips, dp-sharded) without writing per-file "
                          "embedding .npy caches. Plain score only; stats "
-                         "match the cached path to float32 accumulation")
+                         "match the cached path to float32 accumulation. "
+                         "Cache-miss resampling runs on the decode threads "
+                         "(bit-parity with the cached path, fewest link "
+                         "bytes); FADTK_TPU_CONVERT_TRANSPORT=device "
+                         "offloads it to the accelerator instead")
     ap.add_argument("--tp", type=int, default=1,
                     help="tensor-parallel degree for --device-pipeline: shard "
                          "attention heads / FFN columns of each model replica "

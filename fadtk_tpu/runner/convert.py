@@ -1,31 +1,37 @@
-"""In-memory audio convert for the device pipeline: decode on host, Kaiser
-resample + 16-bit PCM quantization ON DEVICE, no filesystem round-trip.
+"""In-memory audio convert for the device pipeline: no filesystem
+round-trip for cache misses — decode on host, then Kaiser resample + 16-bit
+PCM quantization either on the decode threads (``host`` transport, the
+default) or on the accelerator (``device`` transport).
 
-Why: the convert stage is the host tax of a first-touch scoring run — on a
-single-core host the Kaiser polyphase resample costs ~90 ms per 10 s clip at
-44.1k->16k while decode is ~8-25 ms (measured round 3), and the reference
-pays it per file on the host (fadtk/fad.py:139-160: torchaudio load ->
-downmix -> Kaiser resample -> 16-bit wav). Here misses ship to the
-accelerator in fixed-shape batches (int16 when the source is 16-bit-PCM
-exact — half the bytes over the link), the polyphase conv runs on the MXU
-(dsp/resample.py convert_device), and int16 PCM comes back, so the host does
-decode + IO only.
+Why an in-memory path at all: the reference converts per file on the host
+THROUGH THE FILESYSTEM (fadtk/fad.py:139-160: torchaudio load -> downmix ->
+Kaiser resample -> 16-bit wav -> re-read), which is the right thing when
+caching is wanted and pure overhead on scoring-only runs.
 
-Transport note: on the tunneled axon bench client, process RSS grows with
-total bytes ever shipped (CLAUDE.md); this path ships source-rate audio
-(int16 when PCM-exact — half the bytes), ~0.9 MB per 10 s 44.1k clip. Real
-PCIe-attached TPU hosts do not have that client bug; for very large datasets
-on the tunneled box, prefer the cached path (16 kHz int16 ships 3x less).
+Why two transports: the device transport (misses ship to the accelerator in
+fixed-shape batches — int16 when the source is 16-bit-PCM exact, half the
+bytes — the polyphase conv runs on the MXU via dsp/resample.convert_device,
+int16 comes back) was designed when the host resample cost ~90 ms per 10 s
+clip against 8-25 ms of decode. The round-3 BLAS/FFT host-resampler rewrite
+collapsed that premise. On the tunneled axon bench client, where process
+RSS also grows with total bytes ever shipped (CLAUDE.md), link bytes are
+the scarce resource, and the measured whole-pipeline A/B flipped the
+default.
 
-``FADTK_TPU_CONVERT_TRANSPORT=host`` keeps the resample on the host instead
-(the decode threads run the same BLAS/FFT polyphase the cache writer uses,
-3-13 ms per 10 s clip since the round-3 rewrite) so only target-rate int16
-ever crosses the link (~0.32 MB vs ~1.5 MB per 10 s 44.1k clip for the
-device round-trip: source up + int16 down + embed re-up). Output is
-bit-identical to the cached path (same resample_kaiser + float_to_int16
-calls, minus the wav write). On link-bound hosts (tunneled; slow PCIe) this
-is the faster scoring transport; on multi-core PCIe hosts the device default
-keeps the host free for decode.
+The DEFAULT transport is ``host``: the decode threads run the same BLAS/FFT
+polyphase the cache writer uses (3-13 ms per 10 s clip since the round-3
+rewrite) so only target-rate int16 ever crosses the link (~0.32 MB vs ~1.5
+MB per 10 s 44.1k clip for the device round-trip: source up + int16 down +
+embed re-up), and output is bit-identical to the cached path (same
+resample_kaiser + float_to_int16 calls, minus the wav write — no resample
+LSB wiggle). The round-3 whole-pipeline A/B on the tunneled single-core
+bench host measured host transport at 254 vs 130 audio-s/s for the device
+round-trip (bench.py --e2e, host_transport_* keys — re-measured each
+round); on multi-core PCIe TPU VMs both transports are decode-bound.
+``FADTK_TPU_CONVERT_TRANSPORT=device`` restores the device resample
+(offloads the polyphase to the MXU — for hosts where CPU, not the link, is
+the scarce resource; scores then differ from the cached path by the
+documented ~1-LSB wiggle).
 
 Cache semantics: files whose converted wav already exists are read from the
 cache (bit-parity with the cached-embedding path); misses are converted
@@ -91,7 +97,7 @@ class ClipLoader:
         self.transport = (
             transport
             if transport is not None
-            else os.environ.get("FADTK_TPU_CONVERT_TRANSPORT", "device")
+            else os.environ.get("FADTK_TPU_CONVERT_TRANSPORT", "host")
         )
         if self.transport not in ("device", "host"):
             raise ValueError(

@@ -105,15 +105,15 @@ def _host_loaded(model, files, tmp_path):
 
 
 def test_clip_loader_miss_matches_host_convert(fresh_dataset, tmp_path):
-    """Cache-miss clips equal the host convert path up to the documented
-    resample LSB wiggle (<1% of samples, 1 LSB each); same lengths, same
-    dtype/scale conventions."""
+    """DEVICE transport: cache-miss clips equal the host convert path up to
+    the documented resample LSB wiggle (<1% of samples, 1 LSB each); same
+    lengths, same dtype/scale conventions."""
     from fadtk_tpu.models.vggish import VGGishModel
 
     model = VGGishModel()
     files = sorted(fresh_dataset.glob("*.wav"))
     ref = _host_loaded(model, files, tmp_path)
-    got = list(ClipLoader(model, workers=2).iter_clips(files))
+    got = list(ClipLoader(model, workers=2, transport="device").iter_clips(files))
     assert not list(fresh_dataset.glob("convert/**/*.wav")), "miss path must not write caches"
     for r, g in zip(ref, got):
         assert r.shape == g.shape and r.dtype == g.dtype
@@ -142,8 +142,10 @@ def test_clip_loader_host_transport_bit_identical(fresh_dataset, tmp_path):
 def test_clip_loader_transport_env_and_validation(fresh_dataset, monkeypatch):
     from fadtk_tpu.models.vggish import VGGishModel
 
-    monkeypatch.setenv("FADTK_TPU_CONVERT_TRANSPORT", "host")
-    assert ClipLoader(VGGishModel()).transport == "host"
+    monkeypatch.delenv("FADTK_TPU_CONVERT_TRANSPORT", raising=False)
+    assert ClipLoader(VGGishModel()).transport == "host"  # measured default
+    monkeypatch.setenv("FADTK_TPU_CONVERT_TRANSPORT", "device")
+    assert ClipLoader(VGGishModel()).transport == "device"
     monkeypatch.setenv("FADTK_TPU_CONVERT_TRANSPORT", "gemm")
     with pytest.raises(ValueError):
         ClipLoader(VGGishModel())
@@ -180,15 +182,17 @@ def test_load_wav_array_overrides_match_load_wav(tmp_path):
         np.testing.assert_array_equal(model.load_wav(f), model.load_wav_array(q))
 
 
-def test_device_pipeline_fresh_dataset(fresh_dataset, tmp_path):
+def test_device_pipeline_fresh_dataset(fresh_dataset, tmp_path, monkeypatch):
     """score_datasets_device on a never-cached dataset (in-memory convert all
-    the way) matches the cached-embedding path within the pipeline's float32
+    the way, DEVICE transport so the on-accelerator resample stays covered)
+    matches the cached-embedding path within the pipeline's float32
     contract."""
     import shutil
 
     from fadtk_tpu.models.vggish import VGGishModel
     from fadtk_tpu.runner.device_pipeline import dataset_stats_device
 
+    monkeypatch.setenv("FADTK_TPU_CONVERT_TRANSPORT", "device")
     model = VGGishModel()
     mu_d, cov_d, n_d = dataset_stats_device(model, fresh_dataset, batch=16)
 
