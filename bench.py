@@ -377,7 +377,9 @@ def _family_cases():
         audio = jnp.asarray(rng.standard_normal((b, sec * sr)), jnp.float32) * 0.1
         nv = jnp.full((b,), sec * sr, jnp.int32)
         return fwd, params, (audio, nv), b * sec, (
-            "24 kHz audio-sec: T=749 frames per 10 s (1.5x the 16 kHz families)"
+            "24 kHz audio-sec: T=749 frames per 10 s (1.5x the 16 kHz "
+            "families); bf16 flash runs a single adaptive 768 block instead "
+            "of padding to 1024 (round-4 A/B: 327 -> 264 ms/call)"
         )
 
     def whisper_large(dtype):

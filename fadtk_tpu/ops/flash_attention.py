@@ -69,9 +69,24 @@ def _body(nv_ref, q_ref, k_ref, v_ref, pb_ref, g_ref, o_ref, m_ref, l_ref, acc_r
     pb_ref: (1, BQ, BK) f32 position-bias block or None;
     g_ref: (1, BQ, 1) f32 per-query-row gate block or None (both or neither).
     Scratch m/l: (BQ, 1) f32; acc: (BQ, D) f32 — carried across kv blocks.
+
+    kv blocks that start at or beyond n_valid are fully masked: their exact
+    contribution is p = exp(_NEG - m) = 0, so the whole compute is skipped
+    (the caller's index maps also clamp their k/v block indices, so the
+    pipeline re-uses the resident block instead of DMA-ing dead keys — a
+    short clip inside a long padding bucket pays attention work ~ its own
+    valid length, not the bucket length). Query blocks entirely beyond
+    n_valid skip too and flush exact zeros (acc=0 / max(l, eps)): padded
+    rows only ever feed masked keys downstream and are excluded from stats
+    by the frame mask, so zeros are as good as the XLA path's
+    attend-over-valid-prefix values — and a short clip's attention cost
+    becomes ~ceil(nv/block)^2 blocks, quadratic in its own length.
     """
+    q_idx = pl.program_id(1)
     kv_idx = pl.program_id(2)
     n_valid = nv_ref[pl.program_id(0) // h]
+    bq = q_ref.shape[1]
+    bk = k_ref.shape[1]
 
     @pl.when(kv_idx == 0)
     def _init():
@@ -79,38 +94,40 @@ def _body(nv_ref, q_ref, k_ref, v_ref, pb_ref, g_ref, o_ref, m_ref, l_ref, acc_r
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0]  # blocks carry a leading (b*h)-block dim of 1
-    k = k_ref[0]
-    bq, d = q.shape
-    bk = k.shape[0]
+    @pl.when(jnp.logical_and(kv_idx * bk < n_valid, q_idx * bq < n_valid))
+    def _compute():
+        q = q_ref[0]  # blocks carry a leading (b*h)-block dim of 1
+        k = k_ref[0]
+        bq, d = q.shape
 
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (BQ, BK)
-    s = s * (d ** -0.5)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (BQ, BK)
+        s = s * (d ** -0.5)
 
-    if pb_ref is not None:
-        # Factorized additive bias (WavLM): gate[row] * position_bias[row, col],
-        # matching the XLA path's `logits + (gate[..., None] * pb)` in f32.
-        s = s + g_ref[0] * pb_ref[0]
+        if pb_ref is not None:
+            # Factorized additive bias (WavLM): gate[row] * position_bias
+            # [row, col], matching the XLA path's `logits +
+            # (gate[..., None] * pb)` in f32.
+            s = s + g_ref[0] * pb_ref[0]
 
-    # Prefix key mask: global key index >= n_valid -> masked. Padding rows
-    # added to reach the block multiple have index >= T >= n_valid too.
-    col = kv_idx * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-    s = jnp.where(col < n_valid, s, _NEG)
+        # Prefix key mask: global key index >= n_valid -> masked. Padding rows
+        # added to reach the block multiple have index >= T >= n_valid too.
+        col = kv_idx * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        s = jnp.where(col < n_valid, s, _NEG)
 
-    m_prev = m_ref[:]
-    m_cur = jnp.max(s, axis=1, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)
+        m_prev = m_ref[:]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
 
-    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
-    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    m_ref[:] = m_new
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_ref[:] = m_new
 
     @pl.when(kv_idx == pl.num_programs(2) - 1)
     def _flush():
@@ -125,14 +142,36 @@ def _kernel_bias(nv_ref, q_ref, k_ref, v_ref, pb_ref, g_ref, o_ref, m_ref, l_ref
     _body(nv_ref, q_ref, k_ref, v_ref, pb_ref, g_ref, o_ref, m_ref, l_ref, acc_ref, h=h)
 
 
+# (block, per-step overhead penalty): padded length tp = round_up(T, block)
+# scales the per-(b,h) matmul AND VPU-softmax work as tp_q * tp_kv, so
+# minimizing tp dominates; smaller blocks pay grid/pipeline overhead
+# (measured at T=512: 512-blocks 7.5 ms vs 128/512-blocks 8.7 ms -> ~1.1-1.25x).
+# 512 is listed first so exact-multiple shapes keep the measured-optimal
+# config; 768 exists for the 24 kHz families whose 10 s bucket is T=749
+# (512 pads to 1024 = +78% attention work; 768 runs one single kv block —
+# whole-model A/B on v5e: MERT-v1-95M bf16 327 -> 264 ms/call, +24%, with
+# w2v2-base/wavlm-base unchanged at their 512-multiple shapes).
+_BLOCK_CANDIDATES = ((512, 1.0), (768, 1.0), (384, 1.06), (256, 1.12), (128, 1.25))
+
+
+def _pick_block(t: int) -> int:
+    """Square block size minimizing padded attention work for length t."""
+    best_b, best_cost = None, None
+    for b, penalty in _BLOCK_CANDIDATES:
+        cost = _round_up(t, b) * penalty
+        if best_cost is None or cost < best_cost:
+            best_b, best_cost = b, cost
+    return best_b
+
+
 @functools.partial(jax.jit, static_argnames=("block_q", "block_kv", "interpret"))
 def flash_attention(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
     n_valid: jax.Array | None = None,
-    block_q: int = 512,
-    block_kv: int = 512,
+    block_q: int | None = None,
+    block_kv: int | None = None,
     interpret: bool | None = None,
     position_bias: jax.Array | None = None,
     gate: jax.Array | None = None,
@@ -147,6 +186,12 @@ def flash_attention(
     (B, H, T, D) in q's dtype; rows t >= n_valid[b] attend over the same
     valid prefix (finite values, masked downstream by the frame mask like
     the XLA path).
+
+    block_q/block_kv default to an adaptive per-shape choice (`_pick_block`)
+    that minimizes the padded length — e.g. T=749 (24 kHz 10 s bucket) runs a
+    single 768 block instead of padding to 1024 with 512s. kv blocks entirely
+    beyond n_valid[b] are skipped (no dot, no DMA), so ragged clips inside a
+    padding bucket pay for their own length.
     """
     if interpret is None:
         # Pallas has no CPU lowering: when the kernel is force-enabled on the
@@ -160,9 +205,11 @@ def flash_attention(
         nv = jnp.maximum(n_valid.astype(jnp.int32), 1)
     assert (position_bias is None) == (gate is None), "pass both bias parts or neither"
 
-    # Clamp blocks for short sequences (defaults are tuned for the 10 s
-    # speech bucket, T_pad=512: bq=bk=512 measured 7.5 ms vs XLA's 13.0 ms
-    # at B=128/H=12 in bf16; 128/512 blocks were 8.7 ms).
+    if block_q is None:
+        block_q = _pick_block(t)
+    if block_kv is None:
+        block_kv = _pick_block(t)
+    # Clamp explicit blocks for short sequences.
     block_q = min(block_q, _round_up(t, 128))
     block_kv = min(block_kv, _round_up(t, 128))
     tp = _round_up(t, max(block_q, block_kv))
@@ -176,10 +223,21 @@ def flash_attention(
     kf = k.reshape(b * h, tp, d)
     vf = v.reshape(b * h, tp, d)
 
+    def _kv_ki(bh, ki, nv):
+        # Clamp the kv block index to the last block holding valid keys:
+        # later steps skip compute in _body, and the constant block index
+        # lets the pipeline skip their DMA (the resident block is re-used).
+        return jnp.minimum(ki, jnp.maximum(nv[bh // h] - 1, 0) // block_kv)
+
+    def _q_qi(bh, qi, nv):
+        # Same clamp for query blocks fully beyond n_valid (compute skipped,
+        # output flushed as zeros — don't DMA dead query rows either).
+        return jnp.minimum(qi, jnp.maximum(nv[bh // h] - 1, 0) // block_q)
+
     in_specs = [
-        pl.BlockSpec((1, block_q, d), lambda bh, qi, ki, nv: (bh, qi, 0)),
-        pl.BlockSpec((1, block_kv, d), lambda bh, qi, ki, nv: (bh, ki, 0)),
-        pl.BlockSpec((1, block_kv, d), lambda bh, qi, ki, nv: (bh, ki, 0)),
+        pl.BlockSpec((1, block_q, d), lambda bh, qi, ki, nv: (bh, _q_qi(bh, qi, nv), 0)),
+        pl.BlockSpec((1, block_kv, d), lambda bh, qi, ki, nv: (bh, _kv_ki(bh, ki, nv), 0)),
+        pl.BlockSpec((1, block_kv, d), lambda bh, qi, ki, nv: (bh, _kv_ki(bh, ki, nv), 0)),
     ]
     operands = [nv, qf, kf, vf]
     kernel = _kernel
@@ -195,8 +253,14 @@ def flash_attention(
             gate.astype(jnp.float32), ((0, 0), (0, 0), (0, tp - gate.shape[2]))
         ).reshape(b * h, tp, 1)
         in_specs += [
-            pl.BlockSpec((1, block_q, block_kv), lambda bh, qi, ki, nv: (bh % h, qi, ki)),
-            pl.BlockSpec((1, block_q, 1), lambda bh, qi, ki, nv: (bh, qi, 0)),
+            pl.BlockSpec(
+                (1, block_q, block_kv),
+                lambda bh, qi, ki, nv: (bh % h, _q_qi(bh, qi, nv), _kv_ki(bh, ki, nv)),
+            ),
+            pl.BlockSpec(
+                (1, block_q, 1),
+                lambda bh, qi, ki, nv: (bh, _q_qi(bh, qi, nv), 0),
+            ),
         ]
         operands += [pbf, gf]
         kernel = _kernel_bias

@@ -186,6 +186,82 @@ def test_wavlm_attention_flash_equals_xla(monkeypatch):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
 
 
+def test_adaptive_block_choice():
+    """T=749 (24 kHz 10 s bucket) must not pad to 1024 (+78% attention work):
+    the adaptive choice runs one single 768 block. Exact 512-multiples keep
+    the measured-optimal 512 config (ties prefer it)."""
+    from fadtk_tpu.ops.flash_attention import _pick_block
+
+    assert _pick_block(749) == 768
+    assert _pick_block(499) == 512
+    assert _pick_block(512) == 512
+    assert _pick_block(999) == 512  # pads to 1024 either way
+    assert _pick_block(1499) == 512  # 1536 tie -> measured config
+    assert _pick_block(130) == 256  # short sequences: one small block
+    assert _pick_block(2249) == 768  # 24 kHz 30 s bucket: 2304, not 2560
+
+
+def test_adaptive_block_numerics_t749():
+    """The 768-block single-kv-block geometry is numerically the same
+    attention (MERT's 10 s bucket shape, scaled down in batch/heads)."""
+    rng = np.random.default_rng(7)
+    b, h, t, d = 1, 2, 749, 64
+    q = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+    nv = jnp.asarray([680], jnp.int32)
+    out = flash_attention(q, k, v, nv, interpret=True)
+    ref = _ref(q, k, v, nv)
+    np.testing.assert_allclose(
+        np.asarray(out[0, :, :680]), np.asarray(ref[0, :, :680]), atol=3e-6
+    )
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_masked_kv_blocks_skipped_exact():
+    """Rows whose n_valid ends blocks early (kv blocks fully beyond n_valid
+    are skipped and their DMA index is clamped) still match the reference —
+    the skipped blocks' exact contribution is zero."""
+    rng = np.random.default_rng(8)
+    b, h, t, d = 3, 2, 640, 64
+    q = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+    # 256-blocks at t=640 -> 3 kv blocks; nv=100 skips blocks 1-2, nv=300
+    # skips block 2, nv=640 computes all three.
+    nv = jnp.asarray([100, 300, 640], jnp.int32)
+    out = flash_attention(q, k, v, nv, block_q=256, block_kv=256, interpret=True)
+    ref = _ref(q, k, v, nv)
+    for bi in range(b):
+        n = int(nv[bi])
+        np.testing.assert_allclose(
+            np.asarray(out[bi, :, :n]), np.asarray(ref[bi, :, :n]), atol=3e-6
+        )
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_masked_kv_blocks_skipped_with_bias():
+    """Same skip-exactness through the factorized-bias (WavLM) kernel."""
+    rng = np.random.default_rng(9)
+    b, h, t, d = 2, 2, 512, 64
+    q = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+    pb = jnp.asarray(rng.standard_normal((h, t, t)), jnp.float32)
+    gate = jnp.asarray(rng.uniform(1.0, 3.0, (b, h, t)), jnp.float32)
+    nv = jnp.asarray([120, 512], jnp.int32)
+    out = flash_attention(
+        q, k, v, nv, block_q=128, block_kv=128, interpret=True,
+        position_bias=pb, gate=gate,
+    )
+    ref = _ref_biased(q, k, v, nv, pb, gate)
+    for bi in range(b):
+        n = int(nv[bi])
+        np.testing.assert_allclose(
+            np.asarray(out[bi, :, :n]), np.asarray(ref[bi, :, :n]), atol=5e-6
+        )
+
+
 def test_bfloat16_path():
     rng = np.random.default_rng(3)
     q = jnp.asarray(rng.standard_normal((2, 2, 256, 64)), jnp.bfloat16)
