@@ -167,20 +167,47 @@ def _attention_core(q, k, v, bias):
     return out.astype(v.dtype).transpose(0, 2, 1, 3).reshape(b, t, h * d)
 
 
-def use_flash_attention(dtype, frame_valid) -> bool:
-    """The fused Pallas kernel serves the bf16 throughput mode only: in f32
-    XLA's fused softmax is already HBM-bound-optimal (measured 8.3 ms vs
-    13.1 ms for the kernel at B=128/H=12/T=499), and the kernel's extra
-    bf16 MXU passes would cost the f32 path its <=1e-4 HF parity. In bf16 the
-    f32<->bf16 casts around the materialized (B, H, T, T) weights make XLA
-    1.5x SLOWER than f32 — the kernel wins there (8.7 ms vs 12.9 ms)."""
+_FLASH_F32_MIN_T = 640
+
+
+def use_flash_attention(dtype, frame_valid, t: int | None = None) -> bool:
+    """Which attention lowering serves this dtype/length (all measured,
+    B=128/H=12/d=64 on v5e — scripts/flash_fastmath_probe.py):
+
+    - bf16: always the fused Pallas kernel. The XLA path materializes
+      (B, H, T, T) f32 logits plus cast roundtrips and is 1.5x SLOWER than
+      f32 there; the kernel wins (7.4 ms vs 13.0 ms at T=499).
+    - f32, T=499 (16 kHz 10 s bucket): XLA keeps it (8.1 ms vs 10.7 ms for
+      the kernel — XLA's fused softmax avoids the kernel's f32 VMEM
+      pressure and there is no padding to save).
+    - f32, long buckets — a measured whole-model DEAD END despite an
+      isolated win: at T=749 the isolated kernel beats isolated XLA 16.0 ms
+      vs 17.9 ms (adaptive blocks avoid padding while XLA's dense logits
+      traffic grows T^2), but the whole-model A/B ran MERT f32 at 455.9 ms
+      vs 431.4 ms XLA (-5.7%): in-model XLA fuses the logits/softmax with
+      the surrounding projections and wins back ~4 ms/layer that the
+      isolated probe never sees (same trap as the conv-lowering A/B,
+      CLAUDE.md). ``FADTK_TPU_FLASH_F32=1`` (with optional min length
+      ``FADTK_TPU_FLASH_F32_MIN_T``, default 640) keeps the experiment
+      reproducible; default is off.
+
+    Measured dead ends kept as knobs on flash_attention(): fast_exp (bf16
+    VPU exp: 7.389 -> 7.397 ms, the kernel is not exp-throughput-bound
+    even though bf16 exp micro-probes 1.8x f32) and fast_dot
+    (10.84 -> 10.69 ms, Mosaic's f32 dots were not the gap either).
+    """
     from ...ops.flash_attention import flash_attention_enabled
 
-    return (
-        frame_valid is not None
-        and dtype == jnp.bfloat16
-        and flash_attention_enabled()
-    )
+    if frame_valid is None or not flash_attention_enabled():
+        return False
+    if dtype == jnp.bfloat16:
+        return True
+    if dtype == jnp.float32 and t is not None:
+        import os
+
+        if os.environ.get("FADTK_TPU_FLASH_F32", "").strip() == "1":
+            return t >= int(os.environ.get("FADTK_TPU_FLASH_F32_MIN_T", _FLASH_F32_MIN_T))
+    return False
 
 
 def standard_attention(cfg: SpeechEncoderConfig, p, x, key_bias, frame_valid=None):
@@ -190,7 +217,7 @@ def standard_attention(cfg: SpeechEncoderConfig, p, x, key_bias, frame_valid=Non
     qh, kh, vh = (
         _split_heads(t, cfg.num_heads) for t in (q, k, v)
     )
-    if use_flash_attention(x.dtype, frame_valid):
+    if use_flash_attention(x.dtype, frame_valid, x.shape[1]):
         from ...ops.flash_attention import flash_attention
 
         o = flash_attention(qh, kh, vh, frame_valid)
@@ -251,7 +278,9 @@ def wavlm_attention(cfg: SpeechEncoderConfig, p, x, key_bias, position_bias, fra
     k = x @ p["k_proj"]["kernel"] + p["k_proj"]["bias"]
     v = x @ p["v_proj"]["kernel"] + p["v_proj"]["bias"]
     qh, kh, vh = (_split_heads(y, cfg.num_heads) for y in (q, k, v))
-    if use_flash_attention(x.dtype, frame_valid):
+    # WavLM f32 stays XLA at every length (the factorized-bias kernel is
+    # unmeasured in f32; bias blocks double the kernel's VMEM traffic).
+    if x.dtype == jnp.bfloat16 and use_flash_attention(x.dtype, frame_valid):
         from ...ops.flash_attention import flash_attention
 
         o = flash_attention(

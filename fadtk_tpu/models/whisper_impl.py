@@ -84,7 +84,11 @@ def _attention(p, x, kv, num_heads, causal=False):
     Measured: the fused flash kernel does NOT pay here (bf16 B=16: 26.2 ms
     XLA vs 32.2 ms flash for the full forward) — this path computes logits
     in x.dtype, so the bf16 mode never materializes f32 weights and XLA's
-    fused softmax wins; the speech encoders differ (f32 logits for parity)."""
+    fused softmax wins; the speech encoders differ (f32 logits for parity).
+    Re-probed in round 4 for f32 at the whisper-large encoder geometry
+    (B=16, H=20, T=1500): XLA 9.51 ms vs flash 10.51 ms isolated — XLA's
+    blocked softmax handles even the (B,H,T,T) f32 logits well, so flash
+    stays off in both dtypes."""
     b, tq, d = x.shape
     tk = kv.shape[1]
     hd = d // num_heads

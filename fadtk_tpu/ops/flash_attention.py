@@ -61,7 +61,10 @@ def flash_attention_enabled() -> bool:
         return False
 
 
-def _body(nv_ref, q_ref, k_ref, v_ref, pb_ref, g_ref, o_ref, m_ref, l_ref, acc_ref, *, h):
+def _body(
+    nv_ref, q_ref, k_ref, v_ref, pb_ref, g_ref, o_ref, m_ref, l_ref, acc_ref,
+    *, h, fast_exp=False, fast_dot=False,
+):
     """One (batch*head, q-block, kv-block) program step.
 
     nv_ref: (B,) int32 scalar-prefetch — per-batch valid key counts.
@@ -99,6 +102,12 @@ def _body(nv_ref, q_ref, k_ref, v_ref, pb_ref, g_ref, o_ref, m_ref, l_ref, acc_r
         q = q_ref[0]  # blocks carry a leading (b*h)-block dim of 1
         k = k_ref[0]
         bq, d = q.shape
+        if fast_dot:
+            # f32 inputs: multiply in bf16, accumulate f32 — the exact
+            # semantics XLA's DEFAULT precision gives f32 matmuls on TPU
+            # (Mosaic would otherwise emit full 3-pass f32 MXU multiplies).
+            q = q.astype(jnp.bfloat16)
+            k = k.astype(jnp.bfloat16)
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -120,11 +129,23 @@ def _body(nv_ref, q_ref, k_ref, v_ref, pb_ref, g_ref, o_ref, m_ref, l_ref, acc_r
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)
+        if fast_exp:
+            # The (BQ, BK) exp is the VPU hot spot; bf16 exp runs ~1.8x the
+            # f32 rate on v5e (packed VPU) — state (m, l) and accumulation
+            # stay f32, only the elementwise exp input narrows. s - m_new
+            # <= 0 so p in [0, 1]: bf16's 8 mantissa bits give ~0.4% relative
+            # error on weights that then renormalize.
+            p = jnp.exp((s - m_new).astype(jnp.bfloat16))
+        else:
+            p = jnp.exp(s - m_new)
 
-        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(
+            p, axis=1, keepdims=True, dtype=jnp.float32
+        )
+        pv_dtype = jnp.bfloat16 if fast_dot else v_ref.dtype
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+            p.astype(pv_dtype), v_ref[0].astype(pv_dtype),
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         m_ref[:] = m_new
@@ -134,12 +155,12 @@ def _body(nv_ref, q_ref, k_ref, v_ref, pb_ref, g_ref, o_ref, m_ref, l_ref, acc_r
         o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(o_ref.dtype)
 
 
-def _kernel(nv_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, h):
-    _body(nv_ref, q_ref, k_ref, v_ref, None, None, o_ref, m_ref, l_ref, acc_ref, h=h)
+def _kernel(nv_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, h, **kw):
+    _body(nv_ref, q_ref, k_ref, v_ref, None, None, o_ref, m_ref, l_ref, acc_ref, h=h, **kw)
 
 
-def _kernel_bias(nv_ref, q_ref, k_ref, v_ref, pb_ref, g_ref, o_ref, m_ref, l_ref, acc_ref, *, h):
-    _body(nv_ref, q_ref, k_ref, v_ref, pb_ref, g_ref, o_ref, m_ref, l_ref, acc_ref, h=h)
+def _kernel_bias(nv_ref, q_ref, k_ref, v_ref, pb_ref, g_ref, o_ref, m_ref, l_ref, acc_ref, *, h, **kw):
+    _body(nv_ref, q_ref, k_ref, v_ref, pb_ref, g_ref, o_ref, m_ref, l_ref, acc_ref, h=h, **kw)
 
 
 # (block, per-step overhead penalty): padded length tp = round_up(T, block)
@@ -164,7 +185,10 @@ def _pick_block(t: int) -> int:
     return best_b
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_kv", "interpret"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_q", "block_kv", "interpret", "fast_exp", "fast_dot"),
+)
 def flash_attention(
     q: jax.Array,
     k: jax.Array,
@@ -175,6 +199,8 @@ def flash_attention(
     interpret: bool | None = None,
     position_bias: jax.Array | None = None,
     gate: jax.Array | None = None,
+    fast_exp: bool = False,
+    fast_dot: bool = False,
 ) -> jax.Array:
     """softmax(q k^T / sqrt(d) + gate ⊙ position_bias) v with an optional
     prefix key mask.
@@ -277,7 +303,7 @@ def flash_attention(
         ],
     )
     out = pl.pallas_call(
-        functools.partial(kernel, h=h),
+        functools.partial(kernel, h=h, fast_exp=fast_exp, fast_dot=fast_dot),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b * h, tp, d), q.dtype),
         interpret=interpret,

@@ -104,7 +104,11 @@ def _tp_attention(cfg, p, x, key_bias, position_bias, tp_axis, frame_valid=None)
         gates = jax.nn.sigmoid(proj)
         gate = gates[..., 0] * (gates[..., 1] * p["gru_rel_pos_const"].reshape(1, -1, 1) - 1.0) + 2.0
 
-    if enc.use_flash_attention(x.dtype, frame_valid):
+    # f32 long-bucket flash applies only to the unbiased (standard) form;
+    # the WavLM factorized bias keeps XLA in f32 (see encoder.py).
+    if enc.use_flash_attention(
+        x.dtype, frame_valid, x.shape[1] if gate is None else None
+    ):
         from ..ops.flash_attention import flash_attention
 
         # WavLM's bias streams factorized: local-head gate x local-head
