@@ -186,3 +186,45 @@ def test_padding_exactness(attention_type):
     np.testing.assert_allclose(
         np.asarray(states)[:, :, :n_valid], np.asarray(ref_states), atol=1e-5
     )
+
+
+@pytest.mark.parametrize("attention_type", ["standard", "wavlm"])
+def test_padding_exactness_bf16_flash(attention_type, monkeypatch):
+    """Same mask-exactness property through the bf16 fast mode with the flash
+    kernel forced on (interpret on CPU — same kernel code as TPU): the kernel
+    skips kv/query blocks beyond n_valid and flushes padded rows as zeros,
+    which must not perturb the valid frames."""
+    import jax
+
+    from fadtk_tpu.models.precision import cast_params_bf16
+    from fadtk_tpu.models.speech.encoder import init_speech_encoder_params
+
+    monkeypatch.setenv("FADTK_TPU_FLASH_ATTENTION", "1")
+    cfg = SpeechEncoderConfig(
+        **SMALL,
+        feat_extract_norm="group",
+        do_stable_layer_norm=False,
+        conv_bias=False,
+        attention_type=attention_type,
+        num_buckets=64,
+        max_bucket_distance=160,
+    )
+    params = cast_params_bf16(init_speech_encoder_params(cfg, jax.random.PRNGKey(0)))
+    audio = (np.random.default_rng(4).standard_normal(3000) * 0.1).astype(np.float32)
+
+    ref_states, _ = speech_encoder_forward(
+        cfg, params, jnp.asarray(audio[None]), jnp.asarray([3000], jnp.int32)
+    )
+    n_ref = ref_states.shape[2]
+
+    padded = np.zeros(8192, np.float32)
+    padded[:3000] = audio
+    states, mask = speech_encoder_forward(
+        cfg, params, jnp.asarray(padded[None]), jnp.asarray([3000], jnp.int32)
+    )
+    n_valid = int(np.asarray(mask).sum())
+    assert n_valid == n_ref
+    got = np.asarray(states[:, :, :n_valid], np.float32)
+    want = np.asarray(ref_states, np.float32)
+    np.testing.assert_allclose(got, want, atol=2e-2)
+    assert np.isfinite(np.asarray(states, np.float32)).all()
