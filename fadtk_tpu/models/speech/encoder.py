@@ -206,7 +206,8 @@ def use_flash_attention(dtype, frame_valid, t: int | None = None) -> bool:
         import os
 
         if os.environ.get("FADTK_TPU_FLASH_F32", "").strip() == "1":
-            return t >= int(os.environ.get("FADTK_TPU_FLASH_F32_MIN_T", _FLASH_F32_MIN_T))
+            raw = os.environ.get("FADTK_TPU_FLASH_F32_MIN_T", "").strip()
+            return t >= (int(raw) if raw.isdigit() else _FLASH_F32_MIN_T)
     return False
 
 

@@ -29,6 +29,14 @@ sequentially per TPU grid semantics; the (m, l, acc) state lives in VMEM
 scratch and is re-initialized when kv_idx == 0 and flushed at the last kv
 block. Time is padded to a multiple of the block sizes at the caller and the
 padding is folded into the key mask.
+
+What binds the kernel (measured, round 4, B=128/H=12/T=499 bf16 = 7.4 ms):
+NOT the elementwise VPU passes — replacing exp with a 2-op linear gave
+7.43 -> 7.67 ms (noise), and removing two full (BQ, BK) passes (folding the
+1/sqrt(d) scale into q + turning the iota/select mask into a (1, BK) row-mask
+add) measured 7.49 vs 7.39 ms. Compute+DMA first-principles is ~1 ms, so
+~6 ms is per-grid-step pipeline overhead across the 1536 (b*h) steps — the
+lever is fewer/bigger grid steps, not cheaper math inside them.
 """
 
 from __future__ import annotations
@@ -209,9 +217,11 @@ def flash_attention(
     T keys valid). position_bias: (H, T, T) and gate: (B, H, T) — the
     factorized additive bias ``gate[b,h,tq] * position_bias[h,tq,tk]``
     (WavLM's gated relative position bias); pass both or neither. Returns
-    (B, H, T, D) in q's dtype; rows t >= n_valid[b] attend over the same
-    valid prefix (finite values, masked downstream by the frame mask like
-    the XLA path).
+    (B, H, T, D) in q's dtype; rows t >= n_valid[b] are padding whose exact
+    values are unspecified-but-finite: rows in the block straddling n_valid
+    attend over the valid prefix (like the XLA path), rows in fully-masked
+    query blocks flush exact zeros (the block is skipped). Callers must mask
+    padded rows downstream (the frame mask) and may not rely on their values.
 
     block_q/block_kv default to an adaptive per-shape choice (`_pick_block`)
     that minimizes the padded length — e.g. T=749 (24 kHz 10 s bucket) runs a
@@ -231,14 +241,24 @@ def flash_attention(
         nv = jnp.maximum(n_valid.astype(jnp.int32), 1)
     assert (position_bias is None) == (gate is None), "pass both bias parts or neither"
 
-    if block_q is None:
-        block_q = _pick_block(t)
-    if block_kv is None:
-        block_kv = _pick_block(t)
+    # One explicit block size fixes both: mixing an explicit size with the
+    # adaptive default could pick sizes that don't both divide tp (e.g.
+    # block_q=512 with adaptive 768 at t=749), leaving output rows unwritten.
+    if block_q is None and block_kv is None:
+        block_q = block_kv = _pick_block(t)
+    elif block_q is None:
+        block_q = block_kv
+    elif block_kv is None:
+        block_kv = block_q
     # Clamp explicit blocks for short sequences.
     block_q = min(block_q, _round_up(t, 128))
     block_kv = min(block_kv, _round_up(t, 128))
     tp = _round_up(t, max(block_q, block_kv))
+    assert tp % block_q == 0 and tp % block_kv == 0, (
+        f"block sizes ({block_q}, {block_kv}) must both divide the padded "
+        f"length {tp} — mismatched explicit blocks would leave grid rows "
+        "uncomputed"
+    )
     if tp != t:
         pad = ((0, 0), (0, 0), (0, tp - t), (0, 0))
         q = jnp.pad(q, pad)

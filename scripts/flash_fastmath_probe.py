@@ -19,34 +19,14 @@ Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/flash_fastmath_prob
 from __future__ import annotations
 
 import json
-import time
+import os
+import sys
 from functools import partial
 
 import numpy as np
 
-
-def _timed(fn) -> float:
-    t0 = time.perf_counter()
-    fn()
-    return time.perf_counter() - t0
-
-
-def _window(jstep, args, rtt) -> float:
-    import jax.numpy as jnp
-
-    zero = jnp.float32(0.0)
-    float(jstep(zero, *args))  # warm
-    est = max(_timed(lambda: float(jstep(zero, *args))) - rtt, 1e-4)
-    iters = int(min(max(8, 0.4 / est), 128))
-    best = float("inf")
-    for _ in range(3):
-        acc = zero
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            acc = jstep(acc, *args)
-        float(acc)
-        best = min(best, time.perf_counter() - t0)
-    return max(best - rtt, 1e-9) / iters * 1e3  # ms/call
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from probe_timing import measure_rtt, window_ms  # noqa: E402
 
 
 def main() -> None:
@@ -67,9 +47,7 @@ def main() -> None:
 
     b, h, d = 128, 12, 64
     rng = np.random.default_rng(0)
-    trivial = jax.jit(lambda a: a + 1.0)
-    float(trivial(jnp.float32(0)))
-    rtt = min(_timed(lambda: float(trivial(jnp.float32(0)))) for _ in range(5))
+    rtt = measure_rtt()
 
     out = {"rtt_ms": round(rtt * 1e3, 2), "geometry": f"B={b} H={h} d={d}"}
     for t in (499, 749):
@@ -104,7 +82,7 @@ def main() -> None:
             for name, fn in cases.items():
                 key = f"T{t}_{dtype_name}_{name}_ms"
                 try:
-                    out[key] = round(_window(mk(fn), (q, k, v, nv), rtt), 3)
+                    out[key] = round(window_ms(mk(fn), (q, k, v, nv), rtt), 3)
                 except Exception as e:  # keep probing
                     out[key] = f"ERR {str(e)[:120]}"
                 print(f"# {key}: {out[key]}", flush=True)

@@ -16,9 +16,13 @@ Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/flash_skip_probe.py
 from __future__ import annotations
 
 import json
-import time
+import os
+import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from probe_timing import measure_rtt, window_ms  # noqa: E402
 
 
 def main() -> None:
@@ -48,40 +52,20 @@ def main() -> None:
     def step(p, acc, a, nv):
         return acc + fwd(p, a * (1.0 + acc * 1e-30).astype(a.dtype), nv)
 
-    jstep = jax.jit(step)
-    trivial = jax.jit(lambda x: x + 1.0)
-    zero = jnp.float32(0.0)
-    float(trivial(zero))
-    rtt = min(
-        _timed(lambda: float(trivial(zero))) for _ in range(5)
-    )
+    jstep = jax.jit(lambda acc, a, nv: step(params, acc, a, nv))
+    rtt = measure_rtt()
 
     out = {"batch": b, "bucket_seconds": seconds, "frames": 999, "rtt_ms": rtt * 1e3}
     for name, nv_sec in (("full_20s", seconds), ("ragged_6s", 6)):
         nv = jnp.full((b,), nv_sec * sr, jnp.int32)
-        float(jstep(params, zero, audio, nv))  # warm (compile shared)
-        est = max(_timed(lambda: float(jstep(params, zero, audio, nv))) - rtt, 1e-4)
-        iters = int(min(max(8, 0.5 / est), 128))
-        best = float("inf")
-        for _ in range(3):
-            acc = zero
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                acc = jstep(params, acc, audio, nv)
-            float(acc)
-            best = min(best, time.perf_counter() - t0)
-        out[name + "_ms_per_call"] = round(max(best - rtt, 1e-9) / iters * 1e3, 2)
+        out[name + "_ms_per_call"] = round(
+            window_ms(jstep, (audio, nv), rtt, budget_s=0.5), 2
+        )
 
     out["speedup_ragged_vs_full"] = round(
         out["full_20s_ms_per_call"] / out["ragged_6s_ms_per_call"], 3
     )
     print(json.dumps(out))
-
-
-def _timed(fn) -> float:
-    t0 = time.perf_counter()
-    fn()
-    return time.perf_counter() - t0
 
 
 if __name__ == "__main__":

@@ -278,3 +278,21 @@ def test_bfloat16_path():
             np.asarray(ref[bi, :, :n]),
             atol=0.03,  # bf16 p@v accumulation
         )
+
+
+def test_explicit_single_block_size_fixes_both():
+    """Passing only one explicit block size must not mix with an adaptive
+    default that doesn't divide the padded length (was: t=749 with
+    block_q=512 left rows 512..748 unwritten -> NaN)."""
+    rng = np.random.default_rng(10)
+    b, h, t, d = 1, 2, 749, 64
+    q = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+    nv = jnp.asarray([t], jnp.int32)
+    out = flash_attention(q, k, v, nv, block_q=512, interpret=True)
+    ref = _ref(q, k, v, nv)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-6)
+
+    with pytest.raises(AssertionError, match="divide the padded length"):
+        flash_attention(q, k, v, nv, block_q=512, block_kv=768, interpret=True)

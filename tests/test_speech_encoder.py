@@ -193,11 +193,17 @@ def test_padding_exactness_bf16_flash(attention_type, monkeypatch):
     """Same mask-exactness property through the bf16 fast mode with the flash
     kernel forced on (interpret on CPU — same kernel code as TPU): the kernel
     skips kv/query blocks beyond n_valid and flushes padded rows as zeros,
-    which must not perturb the valid frames."""
+    which must not perturb the valid frames.
+
+    Geometry exercises the skip for real: 16384 padded samples -> T=818
+    frames -> two 512-blocks per axis, with n_valid=149 frames so block 1 is
+    entirely beyond n_valid on both the query and kv axes (skipped compute,
+    clamped DMA, zero-flushed rows) through every encoder layer."""
     import jax
 
     from fadtk_tpu.models.precision import cast_params_bf16
     from fadtk_tpu.models.speech.encoder import init_speech_encoder_params
+    from fadtk_tpu.ops.flash_attention import _pick_block
 
     monkeypatch.setenv("FADTK_TPU_FLASH_ATTENTION", "1")
     cfg = SpeechEncoderConfig(
@@ -217,7 +223,9 @@ def test_padding_exactness_bf16_flash(attention_type, monkeypatch):
     )
     n_ref = ref_states.shape[2]
 
-    padded = np.zeros(8192, np.float32)
+    assert _pick_block(818) == 512  # 2x512 grid: the skip path is live
+
+    padded = np.zeros(16384, np.float32)
     padded[:3000] = audio
     states, mask = speech_encoder_forward(
         cfg, params, jnp.asarray(padded[None]), jnp.asarray([3000], jnp.int32)
