@@ -215,16 +215,18 @@ def standard_attention(cfg: SpeechEncoderConfig, p, x, key_bias, frame_valid=Non
     q = x @ p["q_proj"]["kernel"] + p["q_proj"]["bias"]
     k = x @ p["k_proj"]["kernel"] + p["k_proj"]["bias"]
     v = x @ p["v_proj"]["kernel"] + p["v_proj"]["bias"]
-    qh, kh, vh = (
-        _split_heads(t, cfg.num_heads) for t in (q, k, v)
-    )
     if use_flash_attention(x.dtype, frame_valid, x.shape[1]):
-        from ...ops.flash_attention import flash_attention
+        # Packed-heads kernel: consumes the projection layout directly —
+        # no (B, H, T, D) transposes, and DMA rows are H*D*itemsize
+        # contiguous instead of 128 bytes. Isolated A/B at B=128/H=12/T=499
+        # bf16: 7.98 ms (per-(b,h) kernel + transposes) -> 4.74 ms.
+        from ...ops.flash_attention import flash_attention_packed
 
-        o = flash_attention(qh, kh, vh, frame_valid)
-        b, h, t, d = o.shape
-        out = o.transpose(0, 2, 1, 3).reshape(b, t, h * d)
+        out = flash_attention_packed(q, k, v, frame_valid, num_heads=cfg.num_heads)
     else:
+        qh, kh, vh = (
+            _split_heads(t, cfg.num_heads) for t in (q, k, v)
+        )
         out = _attention_core(qh, kh, vh, key_bias)
     return out @ p["out_proj"]["kernel"] + p["out_proj"]["bias"]
 

@@ -34,9 +34,17 @@ What binds the kernel (measured, round 4, B=128/H=12/T=499 bf16 = 7.4 ms):
 NOT the elementwise VPU passes — replacing exp with a 2-op linear gave
 7.43 -> 7.67 ms (noise), and removing two full (BQ, BK) passes (folding the
 1/sqrt(d) scale into q + turning the iota/select mask into a (1, BK) row-mask
-add) measured 7.49 vs 7.39 ms. Compute+DMA first-principles is ~1 ms, so
-~6 ms is per-grid-step pipeline overhead across the 1536 (b*h) steps — the
-lever is fewer/bigger grid steps, not cheaper math inside them.
+add) measured 7.49 vs 7.39 ms. NOT grid-step count either — grouping G heads
+per step (6x fewer steps) measured 8.29 vs 7.39 ms (dead end, kept as the
+`grouped` knob). The real bind is DMA row width: per-(b,h) blocks of
+(block, d=64) DMA 128-byte rows (well under efficient burst size) and the
+model pays 4 (B,H,T,D)<->(B,T,H*D) transposes around the call. The
+packed-heads kernel (`flash_attention_packed`) fixes both by consuming the
+projection layout directly — measured at the model call-site boundary
+(transposes included for the per-(b,h) path): bf16 T=499 7.98 -> 4.74 ms,
+f32 12.63 -> 7.79 ms, H=16 bf16 11.15 -> 7.75 ms. The per-(b,h) kernel
+remains for WavLM's factorized bias (its (H, T, T) bias blocks don't fit the
+all-heads-in-VMEM budget).
 """
 
 from __future__ import annotations
@@ -167,6 +175,80 @@ def _kernel(nv_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, h, **k
     _body(nv_ref, q_ref, k_ref, v_ref, None, None, o_ref, m_ref, l_ref, acc_ref, h=h, **kw)
 
 
+def _kernel_grouped(
+    nv_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, groups_per_b,
+    fast_exp=False, fast_dot=False,
+):
+    """One grid step per (batch·head-group, q-block, kv-block), G heads per
+    step.
+
+    The ungrouped kernel's measured bind (module docstring) is per-grid-step
+    pipeline overhead across b*h steps, not math: at the speech geometry
+    (B=128, H=12, T=499) compute+DMA first-principles is ~1 ms of a 7.4 ms
+    call. Grouping G heads inside one step cuts the grid to b*h/G steps,
+    amortizing that overhead; the per-head dots are unchanged MXU work. G is
+    bounded by VMEM: blocks carry (1, G, BQ/BK, D) slabs whose last dim
+    lane-pads to 128 (d=64 slabs occupy 2x their nominal bytes — the all-heads
+    variant OOMed scoped VMEM at 21 MB vs the 16 MB limit), so the caller
+    picks the largest divisor of H that fits (`_pick_group`).
+
+    q_ref/k_ref/v_ref: (1, G, BQ/BK, D); o_ref: (1, G, BQ, D);
+    m/l: (G, BQ, 1) f32; acc: (G, BQ, D) f32. nv indexes by
+    program_id(0) // groups_per_b (all groups of a batch share n_valid).
+    """
+    q_idx = pl.program_id(1)
+    kv_idx = pl.program_id(2)
+    n_valid = nv_ref[pl.program_id(0) // groups_per_b]
+    g = q_ref.shape[1]
+    bq = q_ref.shape[2]
+    bk = k_ref.shape[2]
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, _NEG)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(jnp.logical_and(kv_idx * bk < n_valid, q_idx * bq < n_valid))
+    def _compute():
+        col = kv_idx * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        key_live = col < n_valid
+        d = q_ref.shape[3]
+        for hh in range(g):
+            q = q_ref[0, hh]
+            k = k_ref[0, hh]
+            if fast_dot:
+                q = q.astype(jnp.bfloat16)
+                k = k.astype(jnp.bfloat16)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * (d ** -0.5)
+            s = jnp.where(key_live, s, _NEG)
+
+            m_prev = m_ref[hh]
+            m_cur = jnp.max(s, axis=1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp(m_prev - m_new)
+            if fast_exp:
+                p = jnp.exp((s - m_new).astype(jnp.bfloat16))
+            else:
+                p = jnp.exp(s - m_new)
+            l_ref[hh] = l_ref[hh] * alpha + jnp.sum(
+                p, axis=1, keepdims=True, dtype=jnp.float32
+            )
+            pv_dtype = jnp.bfloat16 if fast_dot else v_ref.dtype
+            acc_ref[hh] = acc_ref[hh] * alpha + jax.lax.dot_general(
+                p.astype(pv_dtype), v_ref[0, hh].astype(pv_dtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m_ref[hh] = m_new
+
+    @pl.when(kv_idx == pl.num_programs(2) - 1)
+    def _flush():
+        o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(o_ref.dtype)
+
+
 def _kernel_bias(nv_ref, q_ref, k_ref, v_ref, pb_ref, g_ref, o_ref, m_ref, l_ref, acc_ref, *, h, **kw):
     _body(nv_ref, q_ref, k_ref, v_ref, pb_ref, g_ref, o_ref, m_ref, l_ref, acc_ref, h=h, **kw)
 
@@ -195,7 +277,9 @@ def _pick_block(t: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_q", "block_kv", "interpret", "fast_exp", "fast_dot"),
+    static_argnames=(
+        "block_q", "block_kv", "interpret", "fast_exp", "fast_dot", "grouped"
+    ),
 )
 def flash_attention(
     q: jax.Array,
@@ -209,6 +293,7 @@ def flash_attention(
     gate: jax.Array | None = None,
     fast_exp: bool = False,
     fast_dot: bool = False,
+    grouped: bool | None = None,
 ) -> jax.Array:
     """softmax(q k^T / sqrt(d) + gate ⊙ position_bias) v with an optional
     prefix key mask.
@@ -228,6 +313,13 @@ def flash_attention(
     single 768 block instead of padding to 1024 with 512s. kv blocks entirely
     beyond n_valid[b] are skipped (no dot, no DMA), so ragged clips inside a
     padding bucket pay for their own length.
+
+    grouped (default auto, kill-switch FADTK_TPU_FLASH_GROUPED=0): process all
+    H heads of one batch element per grid step (`_kernel_grouped`) when there
+    is no position bias and the (1, H, block, D) slabs fit VMEM — b grid steps
+    instead of b*h, amortizing the measured per-step pipeline overhead that
+    dominates this kernel (module docstring). Falls back to the per-(b,h)
+    grid for the WavLM bias path and VMEM-oversized shapes.
     """
     if interpret is None:
         # Pallas has no CPU lowering: when the kernel is force-enabled on the
@@ -264,6 +356,63 @@ def flash_attention(
         q = jnp.pad(q, pad)
         k = jnp.pad(k, pad)
         v = jnp.pad(v, pad)
+
+    if grouped is None:
+        # Measured DEAD END, default off: G heads per grid step cut the grid
+        # 6x but ran SLOWER (B=128/H=12/T=499 bf16: 8.29 vs 7.39 ms;
+        # f32 11.22 vs 10.82 — scripts/flash_grouped_probe.py). Step count is
+        # not this kernel's bind; DMA row width is (see flash_attention_packed,
+        # which wins 7.98 -> 4.74 ms at the model call-site boundary). Kept as
+        # a knob for probe reproducibility.
+        env = os.environ.get("FADTK_TPU_FLASH_GROUPED", "").strip()
+        grouped = env == "1"
+    if grouped and position_bias is None:
+        g = _pick_group(h, block_q, block_kv, d, q.dtype.itemsize)
+        if g > 1:
+            gpb = h // g  # head-groups per batch element
+
+            def _q_qi_g(i, qi, nv):
+                return jnp.minimum(qi, jnp.maximum(nv[i // gpb] - 1, 0) // block_q)
+
+            def _kv_ki_g(i, ki, nv):
+                return jnp.minimum(ki, jnp.maximum(nv[i // gpb] - 1, 0) // block_kv)
+
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(b * gpb, tp // block_q, tp // block_kv),
+                in_specs=[
+                    pl.BlockSpec(
+                        (1, g, block_q, d),
+                        lambda i, qi, ki, nv: (i // gpb, i % gpb, _q_qi_g(i, qi, nv), 0),
+                    ),
+                    pl.BlockSpec(
+                        (1, g, block_kv, d),
+                        lambda i, qi, ki, nv: (i // gpb, i % gpb, _kv_ki_g(i, ki, nv), 0),
+                    ),
+                    pl.BlockSpec(
+                        (1, g, block_kv, d),
+                        lambda i, qi, ki, nv: (i // gpb, i % gpb, _kv_ki_g(i, ki, nv), 0),
+                    ),
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, g, block_q, d), lambda i, qi, ki, nv: (i // gpb, i % gpb, qi, 0)
+                ),
+                scratch_shapes=[
+                    pltpu.VMEM((g, block_q, 1), jnp.float32),
+                    pltpu.VMEM((g, block_q, 1), jnp.float32),
+                    pltpu.VMEM((g, block_q, d), jnp.float32),
+                ],
+            )
+            out = pl.pallas_call(
+                functools.partial(
+                    _kernel_grouped, groups_per_b=gpb,
+                    fast_exp=fast_exp, fast_dot=fast_dot,
+                ),
+                grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct((b, h, tp, d), q.dtype),
+                interpret=interpret,
+            )(nv, q, k, v)
+            return out[:, :, :t, :]
 
     qf = q.reshape(b * h, tp, d)
     kf = k.reshape(b * h, tp, d)
@@ -333,3 +482,214 @@ def flash_attention(
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _kernel_packed(
+    nv_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, num_heads,
+    fast_exp=False, fast_dot=False,
+):
+    """Packed-heads step: blocks carry (1, BQ/BK, H*D) rows in the MODEL's
+    projection layout; heads are static lane slices.
+
+    Why this layout (both measured): (a) the per-(b,h) and grouped grids DMA
+    (block, 64)-shaped slabs whose rows are 128 contiguous bytes — far below
+    efficient DMA burst size — while packed rows are H*D*itemsize (1.5 KB at
+    H=12 bf16) contiguous; (b) the model no longer pays the 4 (B,H,T,D)
+    transposes around the kernel — q/k/v arrive as the projection GEMM wrote
+    them and the output feeds out_proj directly.
+
+    q_ref/k_ref/v_ref: (1, BQ/BK, H*D); o_ref: (1, BQ, H*D);
+    m/l scratch: (BQ, H) f32 (head per lane); acc: (BQ, H*D) f32.
+    """
+    q_idx = pl.program_id(1)
+    kv_idx = pl.program_id(2)
+    n_valid = nv_ref[pl.program_id(0)]
+    bq = q_ref.shape[1]
+    bk = k_ref.shape[1]
+    d = q_ref.shape[2] // num_heads
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, _NEG)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(jnp.logical_and(kv_idx * bk < n_valid, q_idx * bq < n_valid))
+    def _compute():
+        col = kv_idx * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        key_live = col < n_valid
+        for hh in range(num_heads):
+            sl = slice(hh * d, (hh + 1) * d)
+            q = q_ref[0][:, sl]
+            k = k_ref[0][:, sl]
+            if fast_dot:
+                q = q.astype(jnp.bfloat16)
+                k = k.astype(jnp.bfloat16)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * (d ** -0.5)
+            s = jnp.where(key_live, s, _NEG)
+
+            m_prev = m_ref[:, hh : hh + 1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            if fast_exp:
+                p = jnp.exp((s - m_new).astype(jnp.bfloat16))
+            else:
+                p = jnp.exp(s - m_new)
+            l_ref[:, hh : hh + 1] = l_ref[:, hh : hh + 1] * alpha + jnp.sum(
+                p, axis=1, keepdims=True, dtype=jnp.float32
+            )
+            pv_dtype = jnp.bfloat16 if fast_dot else v_ref.dtype
+            acc_ref[:, sl] = acc_ref[:, sl] * alpha + jax.lax.dot_general(
+                p.astype(pv_dtype), v_ref[0][:, sl].astype(pv_dtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m_ref[:, hh : hh + 1] = m_new
+
+    @pl.when(kv_idx == pl.num_programs(2) - 1)
+    def _flush():
+        for hh in range(num_heads):
+            sl = slice(hh * d, (hh + 1) * d)
+            o_ref[0, :, sl] = (
+                acc_ref[:, sl]
+                / jnp.maximum(l_ref[:, hh : hh + 1], 1e-30)
+            ).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_heads", "block_q", "block_kv", "interpret", "fast_exp", "fast_dot"
+    ),
+)
+def flash_attention_packed(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    n_valid: jax.Array | None = None,
+    *,
+    num_heads: int,
+    block_q: int | None = None,
+    block_kv: int | None = None,
+    interpret: bool | None = None,
+    fast_exp: bool = False,
+    fast_dot: bool = False,
+) -> jax.Array:
+    """Flash attention over (B, T, H*D)-packed q/k/v — the projection GEMM's
+    own layout — returning (B, T, H*D) ready for out_proj.
+
+    Same math and padded-row contract as `flash_attention` (prefix key mask,
+    fully-masked query blocks flush exact zeros, kv blocks beyond n_valid are
+    skipped compute+DMA via clamped index maps); no position-bias support
+    (WavLM keeps the per-(b,h) factorized-bias kernel).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    b, t, hd = q.shape
+    assert hd % num_heads == 0
+    if n_valid is None:
+        nv = jnp.full((b,), t, jnp.int32)
+    else:
+        nv = jnp.maximum(n_valid.astype(jnp.int32), 1)
+
+    if block_q is None and block_kv is None:
+        block_q = block_kv = _pick_block(t)
+    elif block_q is None:
+        block_q = block_kv
+    elif block_kv is None:
+        block_kv = block_q
+    block_q = min(block_q, _round_up(t, 128))
+    block_kv = min(block_kv, _round_up(t, 128))
+    # Keep the step's VMEM inside the scoped limit: double-buffered slabs +
+    # f32 scratch + ~4 transient (BQ, BK) f32 tiles (s, p, col/mask, exp
+    # temps — omitting these OOMed MERT's 768/768/hd=768 shape at 26.6 MB vs
+    # the 16 MB limit). Halve the larger block dim until the estimate fits
+    # (768/768 -> 384/384 at MERT; w2v2 bf16 keeps the measured 512/512,
+    # f32 gets 256/512 — the configs that compiled and won the probes).
+    while max(block_q, block_kv) > 128:
+        est = (
+            2 * (block_q + 2 * block_kv) * hd * q.dtype.itemsize  # q/k/v slabs
+            + 2 * block_q * hd * q.dtype.itemsize  # out
+            + block_q * hd * 4  # acc
+            + 2 * block_q * 128 * 4  # m, l (lane-padded)
+            + 4 * block_q * block_kv * 4  # transient logits/weights tiles
+        )
+        if est <= _PACKED_VMEM_BUDGET:
+            break
+        if block_q >= block_kv:
+            block_q //= 2
+        else:
+            block_kv //= 2
+    tp = _round_up(t, max(block_q, block_kv))
+    assert tp % block_q == 0 and tp % block_kv == 0
+    if tp != t:
+        pad = ((0, 0), (0, tp - t), (0, 0))
+        q = jnp.pad(q, pad)
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+
+    def _qi(bi, qi, nv):
+        return jnp.minimum(qi, jnp.maximum(nv[bi] - 1, 0) // block_q)
+
+    def _ki(bi, ki, nv):
+        return jnp.minimum(ki, jnp.maximum(nv[bi] - 1, 0) // block_kv)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, tp // block_q, tp // block_kv),
+        in_specs=[
+            pl.BlockSpec((1, block_q, hd), lambda bi, qi, ki, nv: (bi, _qi(bi, qi, nv), 0)),
+            pl.BlockSpec((1, block_kv, hd), lambda bi, qi, ki, nv: (bi, _ki(bi, ki, nv), 0)),
+            pl.BlockSpec((1, block_kv, hd), lambda bi, qi, ki, nv: (bi, _ki(bi, ki, nv), 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, hd), lambda bi, qi, ki, nv: (bi, qi, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, num_heads), jnp.float32),
+            pltpu.VMEM((block_q, num_heads), jnp.float32),
+            pltpu.VMEM((block_q, hd), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_packed, num_heads=num_heads, fast_exp=fast_exp, fast_dot=fast_dot
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, tp, hd), q.dtype),
+        interpret=interpret,
+    )(nv, q, k, v)
+    return out[:, :t, :]
+
+
+_PACKED_VMEM_BUDGET = 13 * 2**20
+
+
+# Scoped-VMEM budget for the grouped slabs. The hardware limit is 16 MB; the
+# transient (BQ, BK) f32 logits/weights tiles inside the step live on the same
+# stack, so leave headroom.
+_GROUP_VMEM_BUDGET = 12 * 2**20
+
+
+def _pick_group(h: int, block_q: int, block_kv: int, d: int, itemsize: int) -> int:
+    """Largest divisor of h whose (1, G, block, d) slabs fit scoped VMEM.
+
+    Mosaic lane-pads the trailing dim to 128 (d=64 slabs cost 2x their nominal
+    bytes; the (G, BQ, 1) m/l scratch costs 128x) — the all-heads first cut
+    ignored this and OOMed scoped VMEM (21 MB vs the 16 MB limit) at the
+    speech geometry. Counted per head: 3 double-buffered input blocks + the
+    double-buffered output block (input dtype) + f32 m/l/acc scratch.
+    """
+    dp = _round_up(d, 128)
+    for g in range(h, 1, -1):
+        if h % g:
+            continue
+        per_head = (
+            3 * 2 * max(block_q, block_kv) * dp * itemsize  # q/k/v, double-buffered
+            + 2 * block_q * dp * itemsize                   # out, double-buffered
+            + 2 * block_q * 128 * 4                         # m, l (lane-padded)
+            + block_q * dp * 4                              # acc
+        )
+        if g * per_head <= _GROUP_VMEM_BUDGET:
+            return g
+    return 1

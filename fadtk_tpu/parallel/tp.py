@@ -109,17 +109,24 @@ def _tp_attention(cfg, p, x, key_bias, position_bias, tp_axis, frame_valid=None)
     if enc.use_flash_attention(
         x.dtype, frame_valid, x.shape[1] if gate is None else None
     ):
-        from ..ops.flash_attention import flash_attention
+        if gate is None:
+            # Packed-heads kernel on the shard-local projection layout (no
+            # head-split transposes; num_heads = this shard's heads).
+            from ..ops.flash_attention import flash_attention_packed
 
-        # WavLM's bias streams factorized: local-head gate x local-head
-        # position-bias slice (shard-local shapes match the kernel contract).
-        o = flash_attention(
-            split(q), split(k), split(v), frame_valid,
-            position_bias=None if gate is None else position_bias.astype(jnp.float32),
-            gate=None if gate is None else gate.astype(jnp.float32),
-        )
-        b, h, t, d = o.shape
-        out = o.transpose(0, 2, 1, 3).reshape(b, t, h * d)
+            out = flash_attention_packed(q, k, v, frame_valid, num_heads=local_heads)
+        else:
+            from ..ops.flash_attention import flash_attention
+
+            # WavLM's bias streams factorized: local-head gate x local-head
+            # position-bias slice (shard-local shapes match the kernel contract).
+            o = flash_attention(
+                split(q), split(k), split(v), frame_valid,
+                position_bias=position_bias.astype(jnp.float32),
+                gate=gate.astype(jnp.float32),
+            )
+            b, h, t, d = o.shape
+            out = o.transpose(0, 2, 1, 3).reshape(b, t, h * d)
         out = out @ p["out_proj"]["kernel"]
         out = jax.lax.psum(out, tp_axis)
         return out + p["out_proj"]["bias"]

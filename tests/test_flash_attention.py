@@ -25,18 +25,19 @@ def _ref(q, k, v, nv):
     return jnp.einsum("bhts,bhsd->bhtd", w, v)
 
 
+@pytest.mark.parametrize("grouped", [True, False])
 @pytest.mark.parametrize(
     "b,h,t,d",
     [(2, 3, 499, 64), (1, 2, 130, 32), (2, 1, 512, 64), (1, 4, 1500, 64)],
 )
-def test_matches_xla_attention(b, h, t, d):
+def test_matches_xla_attention(b, h, t, d, grouped):
     rng = np.random.default_rng(0)
     q = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
     k = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
     v = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
     nv = jnp.asarray(rng.integers(1, t + 1, size=b), jnp.int32)
 
-    out = flash_attention(q, k, v, nv, interpret=True)
+    out = flash_attention(q, k, v, nv, interpret=True, grouped=grouped)
     ref = _ref(q, k, v, nv)
     for bi in range(b):
         n = int(nv[bi])
@@ -46,6 +47,74 @@ def test_matches_xla_attention(b, h, t, d):
     # Padded rows must stay finite (they feed later layers' K/V, which the
     # key mask then excludes — NaNs would propagate through masked softmax).
     assert bool(jnp.isfinite(out).all())
+
+
+@pytest.mark.parametrize(
+    "b,h,t,d", [(2, 3, 499, 64), (1, 2, 130, 32), (2, 4, 700, 64)]
+)
+def test_packed_matches_xla_attention(b, h, t, d):
+    """flash_attention_packed consumes/produces the (B, T, H*D) projection
+    layout (the model call-site form) — same math as the XLA core."""
+    from fadtk_tpu.ops.flash_attention import flash_attention_packed
+
+    rng = np.random.default_rng(11)
+    q = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+    nv = jnp.asarray(rng.integers(1, t + 1, size=b), jnp.int32)
+
+    pack = lambda x: x.transpose(0, 2, 1, 3).reshape(b, t, h * d)
+    out = flash_attention_packed(
+        pack(q), pack(k), pack(v), nv, num_heads=h,
+        block_q=384 if t == 700 else None, interpret=True,
+    )
+    out = out.reshape(b, t, h, d).transpose(0, 2, 1, 3)
+    ref = _ref(q, k, v, nv)
+    for bi in range(b):
+        n = int(nv[bi])
+        np.testing.assert_allclose(
+            np.asarray(out[bi, :, :n]), np.asarray(ref[bi, :, :n]), atol=3e-6
+        )
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_packed_bfloat16_and_no_mask():
+    from fadtk_tpu.ops.flash_attention import flash_attention_packed
+
+    rng = np.random.default_rng(12)
+    b, h, t, d = 2, 4, 260, 64
+    q = jnp.asarray(rng.standard_normal((b, h, t, d)) * 0.3, jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((b, h, t, d)) * 0.3, jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((b, h, t, d)) * 0.3, jnp.bfloat16)
+    pack = lambda x: x.transpose(0, 2, 1, 3).reshape(b, t, h * d)
+    out = flash_attention_packed(pack(q), pack(k), pack(v), None, num_heads=h, interpret=True)
+    ref = _ref(
+        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
+        jnp.full((b,), t, jnp.int32),
+    )
+    out = out.reshape(b, t, h, d).transpose(0, 2, 1, 3).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0.02)
+    assert out.dtype == jnp.float32
+
+
+def test_grouped_equals_ungrouped_ragged_multiblock():
+    """The grouped (all-heads-per-step) grid computes the same function as
+    the per-(b,h) grid: ragged n_valid across a multi-kv-block length so the
+    clamped index maps and per-head online-softmax state are all exercised."""
+    rng = np.random.default_rng(7)
+    b, h, t, d = 3, 4, 700, 64  # pads to 768; >1 kv block at block=384
+    q = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+    nv = jnp.asarray([700, 130, 385], jnp.int32)
+    g = flash_attention(q, k, v, nv, block_q=384, interpret=True, grouped=True)
+    u = flash_attention(q, k, v, nv, block_q=384, interpret=True, grouped=False)
+    for bi in range(b):
+        n = int(nv[bi])
+        np.testing.assert_allclose(
+            np.asarray(g[bi, :, :n]), np.asarray(u[bi, :, :n]), atol=2e-6
+        )
+    assert bool(jnp.isfinite(g).all())
 
 
 def test_no_mask_means_all_valid():
