@@ -88,7 +88,15 @@ def _attention(p, x, kv, num_heads, causal=False):
     Re-probed in round 4 for f32 at the whisper-large encoder geometry
     (B=16, H=20, T=1500): XLA 9.51 ms vs flash 10.51 ms isolated — XLA's
     blocked softmax handles even the (B,H,T,T) f32 logits well, so flash
-    stays off in both dtypes."""
+    stays off in both dtypes.
+    Re-probed once more after the packed-heads kernel landed (it reversed
+    the speech-family verdicts, so the whisper one deserved a retest):
+    whole-model flash_attention_packed in the encoder still LOSES —
+    bf16 base 20.8 -> 23.9 ms, bf16 large 394 -> 432 ms; f32 base won
+    only 1.07x, not worth perturbing the HF-parity numerics
+    (scripts/whisper_flash_probe.py). Unlike the speech stack, this path
+    keeps logits in compute dtype, so XLA never pays the f32
+    materialization the kernel exists to avoid."""
     b, tq, d = x.shape
     tk = kv.shape[1]
     hd = d // num_heads
