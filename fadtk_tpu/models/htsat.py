@@ -21,6 +21,7 @@ the interpolation matrix are host-precomputed constants per configuration.
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass
 from functools import lru_cache
 
@@ -122,6 +123,65 @@ def _shift_attn_mask(height: int, width: int, window: int, shift: int) -> np.nda
     return np.where(diff != 0, -100.0, 0.0).astype(np.float32)  # (nW, WW, WW)
 
 
+def _swin_merge_factor() -> int:
+    """How many Swin windows share one attention call (1 = the literal
+    per-window layout).
+
+    Why: a Swin window is 64 tokens with head_dim 24/32, so the attention
+    einsums are batches of (64, 24)x(24, 64) matmuls — ~4.7% of an MXU tile
+    (64*24*64 / 128^3). The TPU ablation (scripts/htsat_breakdown2_probe.py,
+    B=16 HTSAT-tiny bf16) puts that core at 2.73 ms of the 4.9 ms forward.
+    Merging G windows into one attention call with a static block-diagonal
+    mask raises tile utilization ~4x at G=2 (128-row tiles) for 2x softmax
+    elements; the mask keeps the math per-window-exact (off-block logits at
+    -1e9 underflow to exactly 0 after the softmax shift).
+
+    Default 2 — the whole-model A/B (scripts/htsat_merge_probe.py, v5e,
+    B=16 x 10 s windows, mel+tower+projection) won at G=2 in every config:
+    tiny bf16 4.90 -> 3.75 ms (+31%), tiny f32 7.93 -> 7.12 (+11%),
+    base bf16 6.21 -> 4.90 (+27%), base f32 10.21 -> 8.75 (+17%). G=4
+    loses (tiny f32 9.84 ms): the doubled softmax/bias elements outgrow
+    the tile-fill gain, which saturates once rows hit 128. Merged output
+    is bit-identical to unmerged on CPU and pinned to 2e-6 in
+    tests/test_clap.py. Override with FADTK_TPU_SWIN_MERGE=1 (off) / 4."""
+    raw = os.environ.get("FADTK_TPU_SWIN_MERGE", "").strip()
+    if raw.isdigit() and int(raw) >= 1:
+        return int(raw)
+    return 2
+
+
+@lru_cache(maxsize=16)
+def _block_diag_bool(g: int, t: int) -> np.ndarray:
+    """(g*t, g*t) boolean: True inside the g diagonal (t, t) blocks."""
+    m = np.zeros((g * t, g * t), bool)
+    for i in range(g):
+        m[i * t : (i + 1) * t, i * t : (i + 1) * t] = True
+    return m
+
+
+_OFF_BLOCK = -1e9  # finite: exp(-1e9 - rowmax) flushes to exactly 0, no NaN
+
+
+@lru_cache(maxsize=64)
+def _merged_attn_mask(
+    height: int, width: int, window: int, shift: int, g: int
+) -> np.ndarray | None:
+    """Additive attention mask for g merged windows: the per-window shift
+    mask (HF semantics, 0 / -100) on the diagonal blocks, _OFF_BLOCK between
+    tokens of different windows. g == 1 returns the plain shift mask."""
+    base = _shift_attn_mask(height, width, window, shift)
+    if g == 1:
+        return base
+    t = window * window
+    nw = (height // window) * (width // window)
+    out = np.full((nw // g, g * t, g * t), _OFF_BLOCK, np.float32)
+    for grp in range(nw // g):
+        for j in range(g):
+            blk = 0.0 if base is None else base[grp * g + j]
+            out[grp, j * t : (j + 1) * t, j * t : (j + 1) * t] = blk
+    return out
+
+
 # --------------------------------------------------------------------------- #
 # Blocks
 # --------------------------------------------------------------------------- #
@@ -145,8 +205,14 @@ def _window_reverse(windows, window, h, w):
     return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, -1)
 
 
-def _window_attention(cfg, p, x, num_heads, window, attn_mask):
-    """x: (num_windows*B, WW, C)."""
+def _window_attention(cfg, p, x, num_heads, window, attn_mask, merge: int = 1):
+    """x: (num_windows*B/merge, merge*WW, C).
+
+    merge > 1 packs `merge` windows into one attention call; `attn_mask`
+    then carries the _OFF_BLOCK wall between windows (see
+    _swin_merge_factor) and the relative-position bias tiles over the
+    diagonal blocks only. Per-window results are exact: off-block weights
+    are exp(-1e9 - rowmax) == 0, adding zeros to the softmax sum."""
     nb, ww, c = x.shape
     hd = c // num_heads
 
@@ -162,8 +228,12 @@ def _window_attention(cfg, p, x, num_heads, window, attn_mask):
     ) / math.sqrt(hd)
 
     rel_idx = jnp.asarray(_relative_position_index(window).reshape(-1))
+    wt = window * window
     bias = jnp.take(p["relative_position_bias_table"], rel_idx, axis=0)
-    bias = bias.reshape(ww, ww, num_heads).transpose(2, 0, 1)
+    bias = bias.reshape(wt, wt, num_heads).transpose(2, 0, 1)
+    if merge > 1:
+        bd = jnp.asarray(_block_diag_bool(merge, wt))
+        bias = jnp.where(bd[None], jnp.tile(bias, (1, merge, merge)), 0.0)
     logits = logits + bias[None]
 
     if attn_mask is not None:
@@ -199,8 +269,14 @@ def _swin_block(cfg, p, x, dims, num_heads, shift):
         y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
 
     windows = _window_partition(y, window)
-    mask = _shift_attn_mask(hp, wp, window, shift)
-    attn = _window_attention(cfg, p["attention"], windows, num_heads, window, mask)
+    nw = (hp // window) * (wp // window)
+    g = math.gcd(_swin_merge_factor(), nw)
+    mask = _merged_attn_mask(hp, wp, window, shift, g)
+    if g > 1:
+        windows = windows.reshape(-1, g * window * window, c)
+    attn = _window_attention(
+        cfg, p["attention"], windows, num_heads, window, mask, merge=g
+    )
     y = _window_reverse(attn.reshape(-1, window, window, c), window, hp, wp)
 
     if shift > 0:

@@ -180,16 +180,18 @@ def use_flash_attention(dtype, frame_valid, t: int | None = None) -> bool:
     - f32, T=499 (16 kHz 10 s bucket): XLA keeps it (8.1 ms vs 10.7 ms for
       the kernel — XLA's fused softmax avoids the kernel's f32 VMEM
       pressure and there is no padding to save).
-    - f32, long buckets — a measured whole-model DEAD END despite an
-      isolated win: at T=749 the isolated kernel beats isolated XLA 16.0 ms
-      vs 17.9 ms (adaptive blocks avoid padding while XLA's dense logits
-      traffic grows T^2), but the whole-model A/B ran MERT f32 at 455.9 ms
-      vs 431.4 ms XLA (-5.7%): in-model XLA fuses the logits/softmax with
-      the surrounding projections and wins back ~4 ms/layer that the
-      isolated probe never sees (same trap as the conv-lowering A/B,
-      CLAUDE.md). ``FADTK_TPU_FLASH_F32=1`` (with optional min length
-      ``FADTK_TPU_FLASH_F32_MIN_T``, default 640) keeps the experiment
-      reproducible; default is off.
+    - f32, long buckets: stays XLA by default, but for a different reason
+      than the first verdict. The per-(b,h) kernel lost the whole-model A/B
+      (MERT f32 455.9 ms vs 431.4 XLA, -5.7% — in-model XLA fuses
+      logits/softmax with the surrounding projections). The PACKED kernel
+      re-probe (scripts/speech_flash_f32_probe.py) flips that: whole-model
+      MERT f32 520.0 -> 476.6 ms (+9.1%), w2v2 T=499 a tie (1.006x). It
+      stays off because device-f32 is the HF-parity numerics contract and
+      the online softmax reorders sums (~1e-6 relative) — a single-family
+      +9% is not worth forking the parity mode's numerics from the
+      CPU-tested path. ``FADTK_TPU_FLASH_F32=1`` (optional min length
+      ``FADTK_TPU_FLASH_F32_MIN_T``, default 640) opts in; it now routes
+      to the packed kernel like bf16.
 
     Measured dead ends kept as knobs on flash_attention(): fast_exp (bf16
     VPU exp: 7.389 -> 7.397 ms, the kernel is not exp-throughput-bound

@@ -143,3 +143,26 @@ def test_laion_checkpoint_key_style():
     params = convert_clap_audio(laion_sd, SMALL)
     ours = np.asarray(htsat_forward(SMALL, params, jnp.asarray(feats)))
     np.testing.assert_allclose(ours, ref, atol=3e-4)
+
+
+@pytest.mark.parametrize("g", [2, 4, 8])
+def test_swin_window_merge_matches_unmerged(monkeypatch, g):
+    """FADTK_TPU_SWIN_MERGE packs G windows per attention call behind a
+    static block-diagonal mask (MXU tile fill: a lone window is a (64, hd)
+    x (hd, 64) matmul at ~5% of a 128^3 tile). Off-block logits sit at -1e9
+    and underflow to exactly 0 after the softmax shift, so merged must
+    reproduce the per-window forward (measured bit-exact on CPU; tolerance
+    here allows XLA retiling the differently-shaped einsum)."""
+    import jax
+
+    from fadtk_tpu.models.htsat import HTSAT_TINY, init_htsat_params
+
+    params = init_htsat_params(HTSAT_TINY, jax.random.PRNGKey(0), projection_dim=None)
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.standard_normal((2, 1, 1001, 64)) * 0.5, jnp.float32)
+
+    monkeypatch.setenv("FADTK_TPU_SWIN_MERGE", "1")
+    base = np.asarray(jax.jit(lambda p, x: htsat_forward(HTSAT_TINY, p, x))(params, feats))
+    monkeypatch.setenv("FADTK_TPU_SWIN_MERGE", str(g))
+    merged = np.asarray(jax.jit(lambda p, x: htsat_forward(HTSAT_TINY, p, x))(params, feats))
+    np.testing.assert_allclose(merged, base, rtol=2e-6, atol=2e-6)
