@@ -265,13 +265,16 @@ def _family_cases():
         return fwd, params, (chunks,), b * 10, (
             "window-sec; the pipeline's 1 s hop re-reads each second ~10x "
             "(reference chunking semantics), so effective audio-sec = /10. "
-            "Was 7% MFU before the framed-GEMM mel frontend (the patch-"
-            "materialized STFT cost as much as the whole Swin tower). "
-            "Ablation (round 2): replacing window attention AND its "
-            "roll/partition layout with identity leaves the time unchanged "
-            "(7.11 vs 7.14 ms) - the residual gap is the narrow-channel "
-            "(96-768) MLP/projection GEMMs underfilling 128-wide MXU tiles, "
-            "an architectural width limit, not attention or data movement"
+            "Was 7% MFU before the framed-GEMM mel frontend. The round-2 "
+            "'attention is free' ablation was an artifact of feeding the "
+            "mel as a jit argument; the in-graph ablation (round 4, "
+            "scripts/htsat_breakdown2_probe.py) puts the window-attention "
+            "core at 2.73 of 4.90 ms bf16 - (64, 24)x(24, 64) matmuls at "
+            "~4.7% MXU tile fill. FADTK_TPU_SWIN_MERGE=2 (default) merges "
+            "2 windows per call behind a block-diagonal mask: bf16 "
+            "4.90 -> 3.75 ms, f32 7.93 -> 7.12 (bit-exact vs unmerged in "
+            "f32). Batch sweep: B=16 is the throughput max (b128 runs at "
+            "0.65x the per-window rate)"
         )
 
     def whisper(dtype):

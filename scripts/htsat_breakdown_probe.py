@@ -1,5 +1,14 @@
 """Whole-model time breakdown for the CLAP (HTSAT-tiny) forward on TPU.
 
+SUPERSEDED — kept as a measurement-trap record. This probe feeds the
+precomputed mel to the tower as a jit ARGUMENT, and on the tunneled chip
+that measured physically impossible inversions (tower-only slower than the
+full mel+tower jit: bf16 12.7 vs 4.87 ms; f32 ablations flat at ~7.7 ms
+while the CPU cost analysis proves 95% of the flops were removed). Use
+scripts/htsat_breakdown2_probe.py, which ablates inside the full bench
+graph. Lesson (CLAUDE.md class): on axon, only time call shapes that match
+the production call — argument-fed small jits are not that.
+
 The family sweep has clap-laion at 14% (f32) / 23% (bf16) of the measured
 roofline with the round-2 ablation note "attention+layout is free; the gap
 is narrow-channel GEMMs". This probe refreshes and extends that decomposition
