@@ -292,7 +292,16 @@ def _family_cases():
             ).sum()
 
         feats = jnp.asarray(rng.standard_normal((b, 80, 3000)), jnp.float32) * 0.5
-        return fwd, params, (feats,), b * 30, "every clip costs one fixed 30 s window"
+        return fwd, params, (feats,), b * 30, (
+            "every clip costs one fixed 30 s window. Breakdown (round 4, "
+            "scripts/whisper_breakdown_probe.py, bf16 B=16 = 20.7 ms): "
+            "encoder self-attention 12.2, MLPs 4.1, convs 2.0, 2-token "
+            "decoder 3.3 - the bind is T=1500 attention at hd=64 (50% "
+            "K-tile fill + bf16 softmax VPU passes, ~19% attention-flop "
+            "efficiency). Flash loses here in both dtypes (logits already "
+            "compute-dtype; packed-kernel re-probe 0.87-0.91x) and B=16 is "
+            "the batch-sweep max (32/64 run at 0.92/0.89x per window)"
+        )
 
     def dac(dtype):
         from fadtk_tpu.models.dac_impl import DAC_44K, dac_encode, init_dac_params

@@ -45,6 +45,17 @@ projection layout directly — measured at the model call-site boundary
 f32 12.63 -> 7.79 ms, H=16 bf16 11.15 -> 7.75 ms. The per-(b,h) kernel
 remains for WavLM's factorized bias (its (H, T, T) bias blocks don't fit the
 all-heads-in-VMEM budget).
+
+What binds the PACKED kernel (measured, round 4, same geometry = 4.13 ms):
+fast_exp and fast_dot are dead ends here too (4.15 / 4.12 / 4.15 ms for
+exp-in-bf16 / dots-in-bf16 / both — scripts/flash_packed_fastmath_probe.py).
+The floor is structural: the logits dot (BQ, 64)x(64, BK) and the av dot
+(BQ, BK)x(BK, 64) are MXU *pass*-capped at 50% fill (K resp. N = 64 pads to
+the 128 pipeline — a semantic property of head_dim, not a layout fixable
+one; block-diagonal head packing is futile because its zero fraction equals
+the pad fraction), and the remaining ~2-3 ms is the per-head VPU softmax
+chain (~6 passes over (BQ, BK) f32 per head), which bf16 exp does not dent
+because exp is one pass of six.
 """
 
 from __future__ import annotations
