@@ -314,11 +314,15 @@ def _family_cases():
 
         x = jnp.asarray(rng.standard_normal((b, 1, 220500)), jnp.float32) * 0.1
         return fwd, params, (x,), b * 5, (
-            "window-sec; 50% hop doubles work vs audio-sec. Near-bar MFU "
-            "diagnosis: 61 GFLOP/window-sec of dilated k=7 convs at full 44.1k "
-            "rate in narrow (64-128ch) early layers plus elementwise snake "
-            "(sin^2) activations between every conv - intensity is bounded by "
-            "channel width, not batch; ~13.5% is close to the conv roofline"
+            "window-sec; 50% hop doubles work vs audio-sec. The round-2/3 "
+            "'near the conv roofline' diagnosis was wrong: the snake "
+            "activation's XLA sin was 55.7 of 86.0 ms (65% - "
+            "scripts/conv_family_ablation_probe.py). The Cody-Waite "
+            "polynomial sin (ops/fastmath.py, default; "
+            "FADTK_TPU_EXACT_SIN=1 restores the builtin) runs the model at "
+            "~33 ms = 2.6x, 40% of roofline; the conv stack alone floors "
+            "at ~31 ms (31-ms 'none' ablation), so the remaining gap IS "
+            "now the narrow-channel conv bound"
         )
 
     def cdpam(dtype):
@@ -460,8 +464,13 @@ def _family_cases():
 
         x = jnp.asarray(rng.standard_normal((b, 2, 48000)), jnp.float32) * 0.1
         return fwd, params, (x,), b * 1.0, (
-            "segment-sec; stereo 48k 1 s segments, time-group-norm non-causal "
-            "convs — same narrow-channel width bound as the 24k path"
+            "segment-sec; stereo 48k 1 s segments. The per-conv "
+            "time_group_norm is 44% of the bf16 forward (9.7 of 21.9 ms - "
+            "scripts/conv_family_ablation_probe.py): bf16 computes the "
+            "moments one-pass with f32 accumulation (21.7 -> 17.2 ms); f32 "
+            "keeps two-pass mean/var (one-pass cancels at 1.4e-2 on the "
+            "parity path). Residual is the same narrow-channel conv width "
+            "bound as the 24k model"
         )
 
     def clap_ms(dtype):

@@ -39,10 +39,13 @@ def _jitted(cfg: DACEncoderConfig):
 
 
 class DACModel(EmbeddingModel):
-    # bf16 was bench-neutral for DAC (BENCH_FAMILIES.json: 464.5 vs 465.2
-    # window-s/s — the dilated convs are intensity-bound, not bandwidth-bound),
-    # so the fast mode keeps DAC at reference float32 numerics.
-    SUPPORTS_BF16 = False
+    # DAC pinned SUPPORTS_BF16=False through round 3 because bf16 was
+    # bench-neutral (464.5 vs 465.2 window-s/s) — but that was an artifact
+    # of XLA's sin dominating the forward (65%, f32 VPU-bound either way).
+    # With the Cody-Waite snake (ops/fastmath.py) the convs are the cost
+    # again and bf16 buys +14% (1226 -> 1401 window-s/s), so DAC joins the
+    # standard opt-in bf16 contract (cache-segregated '<model>-bf16';
+    # sin_cw computes internally in f32 regardless of the compute dtype).
 
     def __init__(self):
         super().__init__("dac-44kHz", 1024, _SR)

@@ -45,9 +45,28 @@ DAC_44K = DACEncoderConfig()
 
 
 def _snake(x, alpha):
-    """x: (B, C, T); alpha: (C,)."""
+    """x: (B, C, T); alpha: (C,): x + reciprocal(alpha + 1e-9) * sin(alpha x)^2
+    — the reciprocal-multiply form is literally what descript-audio-codec
+    computes (mirrored in tests/test_dac.py:33).
+
+    The sin is the Cody-Waite polynomial (ops/fastmath.sin_cw) by default:
+    XLA:TPU's conservative full-range sin made snake 65% of the whole DAC
+    forward (55.7 of 86.0 ms — scripts/conv_family_ablation_probe.py); the
+    polynomial runs the model at 32.9 ms (2.6x) with a 1.26e-4 max latent
+    deviation, inside the 2e-4 torch-mirror test budget and ~10x below the
+    float16 embedding-cache quantization (scripts/snake_norm_probe.py).
+    FADTK_TPU_EXACT_SIN=1 restores the XLA builtin."""
+    import os
+
     a = alpha[None, :, None]
-    return x + jnp.square(jnp.sin(a * x)) / (a + 1e-9)
+    if os.environ.get("FADTK_TPU_EXACT_SIN", "").strip() == "1":
+        s = jnp.sin(a * x)
+    else:
+        from ..ops.fastmath import sin_cw
+
+        s = sin_cw(a * x)
+    inv = 1.0 / (alpha + 1e-9)
+    return x + inv[None, :, None] * jnp.square(s)
 
 
 def _conv(p, x, stride=1, dilation=1, padding=0):
@@ -78,9 +97,9 @@ def dac_encode(cfg: DACEncoderConfig, params, audio: jax.Array) -> jax.Array:
     """(B, 1, T) -> (B, T_frames, latent_dim) continuous latents.
 
     Compute follows the parameter dtype (models/precision.py); float32 out.
-    DACModel pins SUPPORTS_BF16=False (bf16 was bench-neutral here), so the
-    product path always runs this in float32 — the cast is an identity kept
-    for API uniformity with the other families.
+    (DAC pinned f32 through round 3; the Cody-Waite snake removed the
+    dtype-independent sin bottleneck and bf16 now buys +14%, so the pin is
+    lifted — see DACModel.)
     """
     from .precision import param_dtype
 

@@ -133,10 +133,25 @@ def _conv_layer(cfg, p, x, k: int, stride: int, dil: int):
     y = conv1d_ncl(x, p["kernel"], stride=stride, dilation=dil) + p["bias"][None, :, None]
 
     if cfg.norm_type == "time_group_norm":
-        # GroupNorm(1, C): normalize over (C, T) jointly per sample.
-        mean = jnp.mean(y, axis=(1, 2), keepdims=True)
-        var = jnp.var(y, axis=(1, 2), keepdims=True)
-        y = (y - mean) * jax.lax.rsqrt(var + 1e-5)
+        # GroupNorm(1, C): normalize over (C, T) jointly per sample. The
+        # norm is 44% of the whole 48k bf16 forward (9.7 of 21.9 ms —
+        # scripts/conv_family_ablation_probe.py), so the bf16 throughput
+        # mode computes the moments in ONE traversal (m1, m2 with f32
+        # accumulation; 21.7 -> 17.3 ms whole-model). float32 keeps the
+        # two-pass mean/var: the one-pass form cancels catastrophically
+        # there (E[y^2] - E[y]^2 measured 1.4e-2 off on the parity path,
+        # vs the 3e-4 differential-test budget), while under bf16 the
+        # difference drowns in the mode's own 8e-3 rounding.
+        if y.dtype == jnp.bfloat16:
+            y32 = y.astype(jnp.float32)
+            mean = jnp.mean(y32, axis=(1, 2), keepdims=True)
+            m2 = jnp.mean(y32 * y32, axis=(1, 2), keepdims=True)
+            var = m2 - mean * mean
+            y = ((y32 - mean) * jax.lax.rsqrt(var + 1e-5)).astype(y.dtype)
+        else:
+            mean = jnp.mean(y, axis=(1, 2), keepdims=True)
+            var = jnp.var(y, axis=(1, 2), keepdims=True)
+            y = (y - mean) * jax.lax.rsqrt(var + 1e-5)
         y = y * p["norm_scale"][None, :, None] + p["norm_bias"][None, :, None]
     return y
 

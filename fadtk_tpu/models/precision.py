@@ -19,8 +19,10 @@ This is an accuracy/throughput tradeoff and therefore strictly opt-in:
 - scoring itself is unchanged (host float64 Frechet on the cached float16
   embeddings).
 
-Families keep float32 where bf16 buys nothing: DAC (bench: +0.1%, pure
-conv-roofline) pins ``SUPPORTS_BF16 = False``.
+Every family supports the mode. DAC pinned ``SUPPORTS_BF16 = False``
+through round 3 ("bf16 buys nothing, +0.1%") — that was XLA's f32 sin
+dominating the forward either way; the Cody-Waite snake (ops/fastmath.py)
+removed it and bf16 now buys +14%, so the pin is lifted.
 """
 
 from __future__ import annotations

@@ -5,9 +5,10 @@ tests pin its contract:
 
 - params cast to bfloat16 at ensure_loaded; compute follows param dtype;
 - embeddings stay float16 on disk and close to the float32 ones;
-- caches/stats segregate under '<model>-bf16' (never mixing precisions);
-- families that pin SUPPORTS_BF16=False (DAC) stay float32 even when the
-  mode is on.
+- caches/stats segregate under '<model>-bf16' (never mixing precisions).
+
+(DAC pinned SUPPORTS_BF16=False through round 3; the pin was an artifact
+of XLA's f32 sin dominating its forward and is lifted — see models/dac.py.)
 """
 
 import os
@@ -55,18 +56,18 @@ def test_cache_name_suffix(monkeypatch):
     assert m.cache_name == m.name
     monkeypatch.setenv("FADTK_TPU_BF16", "1")
     assert m.cache_name == f"{m.name}-bf16"
-    # DAC pins SUPPORTS_BF16=False: name (and numerics) stay float32.
+    # DAC joined the standard contract when the Cody-Waite snake removed
+    # the dtype-independent sin bottleneck (bf16 now buys +14%).
     d = DACModel()
-    assert d.cache_name == d.name
+    assert d.cache_name == f"{d.name}-bf16"
 
 
-def test_dac_params_stay_f32(monkeypatch):
+def test_dac_bf16_close(monkeypatch):
     from fadtk_tpu.models.dac import DACModel
 
-    monkeypatch.setenv("FADTK_TPU_BF16", "1")
-    d = DACModel()
-    d.ensure_loaded()
-    assert _leaf_dtypes(d.params) == {"float32"}
+    audio = np.random.default_rng(3).standard_normal(44100) * 0.1
+    e32, e16 = _bf16_vs_f32(DACModel, audio, monkeypatch)
+    _assert_close(e32, e16, mad_tol=0.15)
 
 
 def _bf16_vs_f32(make_model, audio, monkeypatch):
