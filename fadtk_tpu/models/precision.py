@@ -62,8 +62,21 @@ def gelu(x):
     <=3e-4 absolute error is an order below bf16's own ~4e-3 rounding, so
     the bf16 contract ("slightly different embeddings, cache-segregated")
     is unchanged.
+
+    The f32 form is composed by hand rather than via
+    ``jax.nn.gelu(approximate=False)``: jax's exact branch computes
+    ``erfc(-x*sqrt_half)`` — XLA:TPU's tail-accurate erfc does not fuse
+    into the surrounding elementwise chain and pays an extra full HBM
+    round-trip (isolated on 196M f32 elements: builtin 2.97 ms vs 1.50 ms
+    composed, floor 1.10 — scripts/gelu_fusion_probe.py). The composed
+    ``0.5*x*(1+erf(x*sqrt_half))`` is ALSO literally torch's exact-GELU
+    formula (the HF models' reference math; jax's erfc form differs from
+    it by f32 roundoff ~1e-6). Whole-model: w2v2-base f32 299.9 ->
+    266.3 ms (+12.6%).
     """
-    return jax.nn.gelu(x, approximate=x.dtype == jnp.bfloat16)
+    if x.dtype == jnp.bfloat16:
+        return jax.nn.gelu(x, approximate=True)
+    return 0.5 * x * (1.0 + jax.lax.erf(x * 0.7071067811865476))
 
 
 def param_dtype(params, default=jnp.float32):
