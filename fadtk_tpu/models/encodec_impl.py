@@ -157,6 +157,33 @@ def _conv_layer(cfg, p, x, k: int, stride: int, dil: int):
 
 
 def _resnet_block(cfg, p, x, dilations):
+    # FADTK_TPU_FUSED_RESNET=1 runs the 24k-class block (causal, reflect,
+    # k=3, dil 1, k=1 shortcut, no in-conv norm) as one VMEM-resident
+    # Pallas kernel — a measured DEAD END kept reproducible: whole-model
+    # f32 76.5 -> 119.4 ms (0.64x); the block is VPU+MXU-pass bound, not
+    # HBM-bound (full post-mortem in ops/fused_resnet.py). Default off.
+    from ..ops.fused_resnet import fused_resnet_causal, fused_resnet_enabled
+
+    if (
+        fused_resnet_enabled()
+        and cfg.use_causal_conv
+        and cfg.pad_mode == "reflect"
+        and cfg.norm_type == "weight_norm"
+        and cfg.residual_kernel_size == 3
+        and dilations[0] == 1
+        and cfg.use_conv_shortcut
+        and x.shape[-1] >= 3
+    ):
+        return fused_resnet_causal(
+            x,
+            p["block_conv1"]["kernel"],
+            p["block_conv1"]["bias"],
+            p["block_conv2"]["kernel"][:, :, 0],
+            p["block_conv2"]["bias"],
+            p["shortcut"]["kernel"][:, :, 0],
+            p["shortcut"]["bias"],
+        )
+
     r = x
     h = jax.nn.elu(x)
     h = _conv_layer(cfg, p["block_conv1"], h, cfg.residual_kernel_size, 1, dilations[0])
