@@ -231,18 +231,30 @@ def test_bf16_latch_survives_env_flip(monkeypatch):
 
 
 def test_gelu_precision_policy():
-    """f32 keeps exact erf GELU (HF parity); bf16 uses the tanh approximation
-    (erf measured 52 ms of a 300 ms w2v2-base b=128 TPU forward; the 3e-4
-    approximation error is an order below bf16's ~4e-3 rounding)."""
+    """f32 keeps exact erf GELU (HF parity) — composed by hand as torch's
+    0.5*x*(1+erf(x/sqrt2)) rather than jax's erfc(-x/sqrt2) form, which pays
+    an unfused extra HBM pass on TPU (scripts/gelu_fusion_probe.py: w2v2-f32
+    299.9 -> 266.3 ms). The two forms agree to f32 roundoff. bf16 uses the
+    tanh approximation (erf measured 52 ms of a 300 ms w2v2-base forward;
+    the 3e-4 approximation error is an order below bf16's ~4e-3 rounding)."""
+    import math
+
     import jax
     import jax.numpy as jnp
     import numpy as np
+    import scipy.special as ss
 
     from fadtk_tpu.models.precision import gelu
 
     x32 = jnp.linspace(-4.0, 4.0, 513, dtype=jnp.float32)
-    np.testing.assert_array_equal(
-        np.asarray(gelu(x32)), np.asarray(jax.nn.gelu(x32, approximate=False))
+    got = np.asarray(gelu(x32))
+    # the torch formula, evaluated in float64
+    x64 = np.asarray(x32, np.float64)
+    want = 0.5 * x64 * (1.0 + ss.erf(x64 / math.sqrt(2.0)))
+    np.testing.assert_allclose(got, want, atol=3e-7)
+    # and still f32-roundoff-close to jax's erfc-based builtin
+    np.testing.assert_allclose(
+        got, np.asarray(jax.nn.gelu(x32, approximate=False)), atol=2e-6
     )
     x16 = x32.astype(jnp.bfloat16)
     np.testing.assert_array_equal(
