@@ -195,8 +195,11 @@ def _family_cases():
         nv = jnp.full((b,), sec * SR, jnp.int32)
         return fwd, params, (audio, nv), b * sec, (
             "gated relative position bias; bf16 streams it factorized "
-            "(gate x (H,T,T) bias blocks) through the fused flash kernel - "
-            "the XLA path materializes the (B,H,T,T) gated bias in HBM"
+            "(gate x (H,BQ,BK) bias slabs) through the PACKED flash kernel "
+            "(round 4: +2.2% over the per-(b,h) kernel). The bias tax "
+            "(19 of 109 ms, scripts/wavlm_bias_cost_probe.py) is mostly "
+            "the per-head gate*pb VPU passes + the gate projection - "
+            "semantic, not DMA (bf16 pb streaming recovered only 1.4 ms)"
         )
 
     def vggish(dtype):

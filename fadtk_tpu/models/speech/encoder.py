@@ -282,20 +282,23 @@ def wavlm_attention(cfg: SpeechEncoderConfig, p, x, key_bias, position_bias, fra
     q = x @ p["q_proj"]["kernel"] + p["q_proj"]["bias"]
     k = x @ p["k_proj"]["kernel"] + p["k_proj"]["bias"]
     v = x @ p["v_proj"]["kernel"] + p["v_proj"]["bias"]
-    qh, kh, vh = (_split_heads(y, cfg.num_heads) for y in (q, k, v))
     # WavLM f32 stays XLA at every length (the factorized-bias kernel is
     # unmeasured in f32; bias blocks double the kernel's VMEM traffic).
     if x.dtype == jnp.bfloat16 and use_flash_attention(x.dtype, frame_valid):
-        from ...ops.flash_attention import flash_attention
+        # Packed-heads kernel with streamed factorized bias: consumes the
+        # projection layout (no head transposes, wide DMA rows) and the
+        # (H, BQ, BK) position-bias slabs. Whole-model A/B vs the per-(b,h)
+        # bias kernel: scripts/wavlm_packed_probe.py.
+        from ...ops.flash_attention import flash_attention_packed
 
-        o = flash_attention(
-            qh, kh, vh, frame_valid,
-            position_bias=position_bias.astype(jnp.float32),
-            gate=gate.astype(jnp.float32),
+        out = flash_attention_packed(
+            q, k, v, frame_valid,
+            position_bias.astype(jnp.float32),
+            gate.transpose(0, 2, 1).astype(jnp.float32),  # (B, T, H)
+            num_heads=cfg.num_heads,
         )
-        bo, h, to, d = o.shape
-        out = o.transpose(0, 2, 1, 3).reshape(bo, to, h * d)
     else:
+        qh, kh, vh = (_split_heads(y, cfg.num_heads) for y in (q, k, v))
         gated_bias = gate[..., None] * position_bias[None]  # (B, H, T, T)
         out = _attention_core(qh, kh, vh, gated_bias + key_bias)
     return out @ p["out_proj"]["kernel"] + p["out_proj"]["bias"]

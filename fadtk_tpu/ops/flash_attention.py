@@ -42,9 +42,14 @@ model pays 4 (B,H,T,D)<->(B,T,H*D) transposes around the call. The
 packed-heads kernel (`flash_attention_packed`) fixes both by consuming the
 projection layout directly — measured at the model call-site boundary
 (transposes included for the per-(b,h) path): bf16 T=499 7.98 -> 4.74 ms,
-f32 12.63 -> 7.79 ms, H=16 bf16 11.15 -> 7.75 ms. The per-(b,h) kernel
-remains for WavLM's factorized bias (its (H, T, T) bias blocks don't fit the
-all-heads-in-VMEM budget).
+f32 12.63 -> 7.79 ms, H=16 bf16 11.15 -> 7.75 ms. WavLM's factorized bias
+also streams through the packed kernel now ((H, BQ, BK) slabs at
+VMEM-fitted 256 blocks) — but the whole-model win is small (109.8 -> 107.4
+ms, +2.2%; scripts/wavlm_packed_probe.py): the wavlm bias tax (19 ms of
+109, scripts/wavlm_bias_cost_probe.py) is NOT the pb DMA (streaming pb in
+bf16 recovered only 1.4 ms more) but the per-head gate*pb VPU add passes
+and the gate projection itself — a semantic cost. The per-(b,h) kernel
+remains as the tested fallback.
 
 What binds the PACKED kernel (measured, round 4, same geometry = 4.13 ms):
 fast_exp and fast_dot are dead ends here too (4.15 / 4.12 / 4.15 ms for
@@ -569,6 +574,72 @@ def _kernel_packed(
             ).astype(o_ref.dtype)
 
 
+def _kernel_packed_bias(
+    nv_ref, q_ref, k_ref, v_ref, pb_ref, g_ref, o_ref, m_ref, l_ref, acc_ref,
+    *, num_heads,
+):
+    """Packed-heads step with WavLM's factorized bias.
+
+    Same layout/contract as _kernel_packed plus two streamed operands:
+    pb_ref (H, BQ, BK) position-bias block (batch-independent — the
+    per-(b,h) kernel re-reads it per batch element, ~0.8 GB/layer at B=64,
+    which the wavlm bias-cost probe measured as most of the bf16 bias tax)
+    and g_ref (1, BQ, H) per-query-row gates in the (B, T, H) layout. Bias
+    math mirrors the XLA path: s += gate[row] * pb[row, col] in f32 before
+    the prefix mask.
+    """
+    q_idx = pl.program_id(1)
+    kv_idx = pl.program_id(2)
+    n_valid = nv_ref[pl.program_id(0)]
+    bq = q_ref.shape[1]
+    bk = k_ref.shape[1]
+    d = q_ref.shape[2] // num_heads
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, _NEG)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(jnp.logical_and(kv_idx * bk < n_valid, q_idx * bq < n_valid))
+    def _compute():
+        col = kv_idx * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        key_live = col < n_valid
+        for hh in range(num_heads):
+            sl = slice(hh * d, (hh + 1) * d)
+            s = jax.lax.dot_general(
+                q_ref[0][:, sl], k_ref[0][:, sl],
+                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            ) * (d ** -0.5)
+            s = s + g_ref[0][:, hh : hh + 1].astype(jnp.float32) * pb_ref[
+                hh
+            ].astype(jnp.float32)
+            s = jnp.where(key_live, s, _NEG)
+
+            m_prev = m_ref[:, hh : hh + 1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)
+            l_ref[:, hh : hh + 1] = l_ref[:, hh : hh + 1] * alpha + jnp.sum(
+                p, axis=1, keepdims=True, dtype=jnp.float32
+            )
+            acc_ref[:, sl] = acc_ref[:, sl] * alpha + jax.lax.dot_general(
+                p.astype(v_ref.dtype), v_ref[0][:, sl],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m_ref[:, hh : hh + 1] = m_new
+
+    @pl.when(kv_idx == pl.num_programs(2) - 1)
+    def _flush():
+        for hh in range(num_heads):
+            sl = slice(hh * d, (hh + 1) * d)
+            o_ref[0, :, sl] = (
+                acc_ref[:, sl]
+                / jnp.maximum(l_ref[:, hh : hh + 1], 1e-30)
+            ).astype(o_ref.dtype)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -580,6 +651,8 @@ def flash_attention_packed(
     k: jax.Array,
     v: jax.Array,
     n_valid: jax.Array | None = None,
+    position_bias: jax.Array | None = None,
+    gate: jax.Array | None = None,
     *,
     num_heads: int,
     block_q: int | None = None,
@@ -593,8 +666,12 @@ def flash_attention_packed(
 
     Same math and padded-row contract as `flash_attention` (prefix key mask,
     fully-masked query blocks flush exact zeros, kv blocks beyond n_valid are
-    skipped compute+DMA via clamped index maps); no position-bias support
-    (WavLM keeps the per-(b,h) factorized-bias kernel).
+    skipped compute+DMA via clamped index maps). WavLM's factorized bias is
+    supported via ``position_bias`` (H, T, T) and ``gate`` (B, T, H): the
+    bias blocks stream per (b, q, kv) step — the (H, BQ, BK) slab budget is
+    what forces the smaller block sizes picked below (the per-(b,h) kernel
+    additionally paid 128-byte DMA rows and 4 head transposes; the wavlm
+    whole-model A/B is in scripts/wavlm_packed_probe.py).
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -605,6 +682,8 @@ def flash_attention_packed(
     else:
         nv = jnp.maximum(n_valid.astype(jnp.int32), 1)
 
+    has_bias = position_bias is not None
+    assert has_bias == (gate is not None), "position_bias and gate come together"
     if block_q is None and block_kv is None:
         block_q = block_kv = _pick_block(t)
     elif block_q is None:
@@ -619,6 +698,7 @@ def flash_attention_packed(
     # the 16 MB limit). Halve the larger block dim until the estimate fits
     # (768/768 -> 384/384 at MERT; w2v2 bf16 keeps the measured 512/512,
     # f32 gets 256/512 — the configs that compiled and won the probes).
+    pb_bytes = position_bias.dtype.itemsize if has_bias else 0
     while max(block_q, block_kv) > 128:
         est = (
             2 * (block_q + 2 * block_kv) * hd * q.dtype.itemsize  # q/k/v slabs
@@ -626,6 +706,9 @@ def flash_attention_packed(
             + block_q * hd * 4  # acc
             + 2 * block_q * 128 * 4  # m, l (lane-padded)
             + 4 * block_q * block_kv * 4  # transient logits/weights tiles
+            # double-buffered (H, BQ, BK) position-bias slab + (BQ, H) gate
+            + 2 * num_heads * block_q * block_kv * pb_bytes
+            + 2 * block_q * max(num_heads, 128) * 4
         )
         if est <= _PACKED_VMEM_BUDGET:
             break
@@ -640,6 +723,11 @@ def flash_attention_packed(
         q = jnp.pad(q, pad)
         k = jnp.pad(k, pad)
         v = jnp.pad(v, pad)
+        if has_bias:
+            position_bias = jnp.pad(
+                position_bias, ((0, 0), (0, tp - t), (0, tp - t))
+            )
+            gate = jnp.pad(gate, ((0, 0), (0, tp - t), (0, 0)))
 
     def _qi(bi, qi, nv):
         return jnp.minimum(qi, jnp.maximum(nv[bi] - 1, 0) // block_q)
@@ -647,14 +735,35 @@ def flash_attention_packed(
     def _ki(bi, ki, nv):
         return jnp.minimum(ki, jnp.maximum(nv[bi] - 1, 0) // block_kv)
 
+    in_specs = [
+        pl.BlockSpec((1, block_q, hd), lambda bi, qi, ki, nv: (bi, _qi(bi, qi, nv), 0)),
+        pl.BlockSpec((1, block_kv, hd), lambda bi, qi, ki, nv: (bi, _ki(bi, ki, nv), 0)),
+        pl.BlockSpec((1, block_kv, hd), lambda bi, qi, ki, nv: (bi, _ki(bi, ki, nv), 0)),
+    ]
+    operands = [q, k, v]
+    if has_bias:
+        in_specs.append(
+            pl.BlockSpec(
+                (num_heads, block_q, block_kv),
+                lambda bi, qi, ki, nv: (0, _qi(bi, qi, nv), _ki(bi, ki, nv)),
+            )
+        )
+        in_specs.append(
+            pl.BlockSpec(
+                (1, block_q, num_heads),
+                lambda bi, qi, ki, nv: (bi, _qi(bi, qi, nv), 0),
+            )
+        )
+        operands += [position_bias, gate]
+        kernel = functools.partial(_kernel_packed_bias, num_heads=num_heads)
+    else:
+        kernel = functools.partial(
+            _kernel_packed, num_heads=num_heads, fast_exp=fast_exp, fast_dot=fast_dot
+        )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, tp // block_q, tp // block_kv),
-        in_specs=[
-            pl.BlockSpec((1, block_q, hd), lambda bi, qi, ki, nv: (bi, _qi(bi, qi, nv), 0)),
-            pl.BlockSpec((1, block_kv, hd), lambda bi, qi, ki, nv: (bi, _ki(bi, ki, nv), 0)),
-            pl.BlockSpec((1, block_kv, hd), lambda bi, qi, ki, nv: (bi, _ki(bi, ki, nv), 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, block_q, hd), lambda bi, qi, ki, nv: (bi, qi, 0)),
         scratch_shapes=[
             pltpu.VMEM((block_q, num_heads), jnp.float32),
@@ -663,13 +772,11 @@ def flash_attention_packed(
         ],
     )
     out = pl.pallas_call(
-        functools.partial(
-            _kernel_packed, num_heads=num_heads, fast_exp=fast_exp, fast_dot=fast_dot
-        ),
+        kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, tp, hd), q.dtype),
         interpret=interpret,
-    )(nv, q, k, v)
+    )(nv, *operands)
     return out[:, :t, :]
 
 

@@ -13,7 +13,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from fadtk_tpu.ops.flash_attention import flash_attention
+from fadtk_tpu.ops.flash_attention import flash_attention, flash_attention_packed
 
 
 def _ref(q, k, v, nv):
@@ -236,9 +236,9 @@ def test_wavlm_attention_flash_equals_xla(monkeypatch):
     ref = wavlm_attention(cfg, p, x, key_bias, pb, frame_valid=None)  # XLA path
 
     monkeypatch.setenv("FADTK_TPU_FLASH_ATTENTION", "1")
-    real = fa.flash_attention
+    real = fa.flash_attention_packed
     monkeypatch.setattr(
-        fa, "flash_attention",
+        fa, "flash_attention_packed",
         lambda *a, **kw: real(*a, **{**kw, "interpret": True}),
     )
     out = wavlm_attention(cfg, p, x, key_bias, pb, frame_valid=nv)
@@ -365,3 +365,30 @@ def test_explicit_single_block_size_fixes_both():
 
     with pytest.raises(AssertionError, match="divide the padded length"):
         flash_attention(q, k, v, nv, block_q=512, block_kv=768, interpret=True)
+
+@pytest.mark.parametrize("b,h,t,d", [(2, 3, 499, 64), (1, 2, 130, 32)])
+def test_packed_factorized_bias_matches_wavlm_core(b, h, t, d):
+    """The packed-heads kernel's streamed (H, BQ, BK) bias slabs + (B, T, H)
+    gate must reproduce the dense gated-bias attention (wavlm routes here
+    in bf16 since the packed-bias variant landed)."""
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+    pb = jnp.asarray(rng.standard_normal((h, t, t)), jnp.float32)
+    gate = jnp.asarray(rng.uniform(1.0, 3.0, (b, h, t)), jnp.float32)
+    nv = jnp.asarray(rng.integers(1, t + 1, size=b), jnp.int32)
+
+    packed = lambda a: a.transpose(0, 2, 1, 3).reshape(b, t, h * d)
+    out = flash_attention_packed(
+        packed(q), packed(k), packed(v), nv,
+        pb, gate.transpose(0, 2, 1), num_heads=h, interpret=True,
+    )
+    ref = _ref_biased(q, k, v, nv, pb, gate)
+    ref_packed = np.asarray(packed(ref))
+    for bi in range(b):
+        n = int(nv[bi])
+        np.testing.assert_allclose(
+            np.asarray(out[bi, :n]), ref_packed[bi, :n], atol=5e-6
+        )
+    assert bool(jnp.isfinite(out).all())
