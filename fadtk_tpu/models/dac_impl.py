@@ -55,7 +55,9 @@ def _snake(x, alpha):
     polynomial runs the model at 32.9 ms (2.6x) with a 1.26e-4 max latent
     deviation, inside the 2e-4 torch-mirror test budget and ~10x below the
     float16 embedding-cache quantization (scripts/snake_norm_probe.py).
-    FADTK_TPU_EXACT_SIN=1 restores the XLA builtin."""
+    FADTK_TPU_EXACT_SIN=1 restores the XLA builtin — read at TRACE time,
+    so set it before the first DAC forward of the process (the lru-cached
+    jitted encoder keeps whichever sin it was traced with)."""
     import os
 
     a = alpha[None, :, None]

@@ -146,7 +146,9 @@ def _conv_layer(cfg, p, x, k: int, stride: int, dil: int):
             y32 = y.astype(jnp.float32)
             mean = jnp.mean(y32, axis=(1, 2), keepdims=True)
             m2 = jnp.mean(y32 * y32, axis=(1, 2), keepdims=True)
-            var = m2 - mean * mean
+            # clamp: on a near-constant segment the one-pass form's f32
+            # cancellation can dip below -1e-5 and NaN the rsqrt
+            var = jnp.maximum(m2 - mean * mean, 0.0)
             y = ((y32 - mean) * jax.lax.rsqrt(var + 1e-5)).astype(y.dtype)
         else:
             mean = jnp.mean(y, axis=(1, 2), keepdims=True)

@@ -143,10 +143,13 @@ def _swin_merge_factor() -> int:
     loses (tiny f32 9.84 ms): the doubled softmax/bias elements outgrow
     the tile-fill gain, which saturates once rows hit 128. Merged output
     is bit-identical to unmerged on CPU and pinned to 2e-6 in
-    tests/test_clap.py. Override with FADTK_TPU_SWIN_MERGE=1 (off) / 4."""
+    tests/test_clap.py. Override with FADTK_TPU_SWIN_MERGE=1 or 0 (both
+    mean off) / 4. Read at trace time: set it before the first CLAP/msclap
+    forward of the process — jitted executables keep their merge factor
+    (harmless: merged and unmerged are numerically identical)."""
     raw = os.environ.get("FADTK_TPU_SWIN_MERGE", "").strip()
-    if raw.isdigit() and int(raw) >= 1:
-        return int(raw)
+    if raw.isdigit():
+        return max(int(raw), 1)  # 0 = off, same as 1
     return 2
 
 

@@ -501,7 +501,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _kernel_packed(
-    nv_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, num_heads,
+    nv_ref, q_ref, k_ref, v_ref, *rest, num_heads, has_bias=False,
     fast_exp=False, fast_dot=False,
 ):
     """Packed-heads step: blocks carry (1, BQ/BK, H*D) rows in the MODEL's
@@ -516,7 +516,19 @@ def _kernel_packed(
 
     q_ref/k_ref/v_ref: (1, BQ/BK, H*D); o_ref: (1, BQ, H*D);
     m/l scratch: (BQ, H) f32 (head per lane); acc: (BQ, H*D) f32.
+
+    has_bias adds WavLM's factorized bias as two streamed operands:
+    pb_ref (H, BQ, BK) position-bias block — batch-independent; the
+    per-(b,h) kernel re-reads it per batch element — and g_ref (1, BQ, H)
+    per-query-row gates in the (B, T, H) layout. Bias math mirrors the XLA
+    path: s += gate[row] * pb[row, col] in f32 before the prefix mask.
+    ONE body serves both variants so masking/flush fixes cannot drift.
     """
+    if has_bias:
+        pb_ref, g_ref, o_ref, m_ref, l_ref, acc_ref = rest
+    else:
+        o_ref, m_ref, l_ref, acc_ref = rest
+        pb_ref = g_ref = None
     q_idx = pl.program_id(1)
     kv_idx = pl.program_id(2)
     n_valid = nv_ref[pl.program_id(0)]
@@ -544,6 +556,10 @@ def _kernel_packed(
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             ) * (d ** -0.5)
+            if has_bias:
+                s = s + g_ref[0][:, hh : hh + 1].astype(jnp.float32) * pb_ref[
+                    hh
+                ].astype(jnp.float32)
             s = jnp.where(key_live, s, _NEG)
 
             m_prev = m_ref[:, hh : hh + 1]
@@ -559,72 +575,6 @@ def _kernel_packed(
             pv_dtype = jnp.bfloat16 if fast_dot else v_ref.dtype
             acc_ref[:, sl] = acc_ref[:, sl] * alpha + jax.lax.dot_general(
                 p.astype(pv_dtype), v_ref[0][:, sl].astype(pv_dtype),
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            m_ref[:, hh : hh + 1] = m_new
-
-    @pl.when(kv_idx == pl.num_programs(2) - 1)
-    def _flush():
-        for hh in range(num_heads):
-            sl = slice(hh * d, (hh + 1) * d)
-            o_ref[0, :, sl] = (
-                acc_ref[:, sl]
-                / jnp.maximum(l_ref[:, hh : hh + 1], 1e-30)
-            ).astype(o_ref.dtype)
-
-
-def _kernel_packed_bias(
-    nv_ref, q_ref, k_ref, v_ref, pb_ref, g_ref, o_ref, m_ref, l_ref, acc_ref,
-    *, num_heads,
-):
-    """Packed-heads step with WavLM's factorized bias.
-
-    Same layout/contract as _kernel_packed plus two streamed operands:
-    pb_ref (H, BQ, BK) position-bias block (batch-independent — the
-    per-(b,h) kernel re-reads it per batch element, ~0.8 GB/layer at B=64,
-    which the wavlm bias-cost probe measured as most of the bf16 bias tax)
-    and g_ref (1, BQ, H) per-query-row gates in the (B, T, H) layout. Bias
-    math mirrors the XLA path: s += gate[row] * pb[row, col] in f32 before
-    the prefix mask.
-    """
-    q_idx = pl.program_id(1)
-    kv_idx = pl.program_id(2)
-    n_valid = nv_ref[pl.program_id(0)]
-    bq = q_ref.shape[1]
-    bk = k_ref.shape[1]
-    d = q_ref.shape[2] // num_heads
-
-    @pl.when(kv_idx == 0)
-    def _init():
-        m_ref[:] = jnp.full_like(m_ref, _NEG)
-        l_ref[:] = jnp.zeros_like(l_ref)
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    @pl.when(jnp.logical_and(kv_idx * bk < n_valid, q_idx * bq < n_valid))
-    def _compute():
-        col = kv_idx * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-        key_live = col < n_valid
-        for hh in range(num_heads):
-            sl = slice(hh * d, (hh + 1) * d)
-            s = jax.lax.dot_general(
-                q_ref[0][:, sl], k_ref[0][:, sl],
-                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-            ) * (d ** -0.5)
-            s = s + g_ref[0][:, hh : hh + 1].astype(jnp.float32) * pb_ref[
-                hh
-            ].astype(jnp.float32)
-            s = jnp.where(key_live, s, _NEG)
-
-            m_prev = m_ref[:, hh : hh + 1]
-            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-            alpha = jnp.exp(m_prev - m_new)
-            p = jnp.exp(s - m_new)
-            l_ref[:, hh : hh + 1] = l_ref[:, hh : hh + 1] * alpha + jnp.sum(
-                p, axis=1, keepdims=True, dtype=jnp.float32
-            )
-            acc_ref[:, sl] = acc_ref[:, sl] * alpha + jax.lax.dot_general(
-                p.astype(v_ref.dtype), v_ref[0][:, sl],
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
@@ -707,8 +657,10 @@ def flash_attention_packed(
             + 2 * block_q * 128 * 4  # m, l (lane-padded)
             + 4 * block_q * block_kv * 4  # transient logits/weights tiles
             # double-buffered (H, BQ, BK) position-bias slab + (BQ, H) gate
+            # (both zero when bias-free — these terms must not perturb the
+            # whole-model-A/B'd block configs of the plain packed kernel)
             + 2 * num_heads * block_q * block_kv * pb_bytes
-            + 2 * block_q * max(num_heads, 128) * 4
+            + (2 * block_q * max(num_heads, 128) * 4 if has_bias else 0)
         )
         if est <= _PACKED_VMEM_BUDGET:
             break
@@ -755,11 +707,10 @@ def flash_attention_packed(
             )
         )
         operands += [position_bias, gate]
-        kernel = functools.partial(_kernel_packed_bias, num_heads=num_heads)
-    else:
-        kernel = functools.partial(
-            _kernel_packed, num_heads=num_heads, fast_exp=fast_exp, fast_dot=fast_dot
-        )
+    kernel = functools.partial(
+        _kernel_packed, num_heads=num_heads, has_bias=has_bias,
+        fast_exp=fast_exp, fast_dot=fast_dot,
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, tp // block_q, tp // block_kv),
