@@ -88,9 +88,28 @@ def _masked_group_norm_per_channel(x, mask, p, eps=1e-5):
     valid frames so padded batches match unpadded runs exactly.
 
     x: (B, T, C); mask: (B, T) in {0,1}.
+
+    bf16 fast mode computes the moments in ONE traversal with f32
+    accumulation (the conv-0 output is the biggest tensor in the forward —
+    (B, ~T/5, 512) — and this norm walks it three times on the two-pass
+    form): whole-model w2v2-base bf16 173.4 -> 168.3 ms, +3%
+    (scripts/groupnorm_onepass_probe.py). Masked exactness is unchanged
+    (padded positions contribute exactly zero to both sums). float32 keeps
+    the two-pass centered form — E[x^2]-E[x]^2 cancels on the parity path
+    (same analysis as EnCodec-48k's group norm, PERF.md ledger).
     """
     m = mask[..., None]
     n = jnp.maximum(jnp.sum(m, axis=1, keepdims=True), 1.0)
+    if x.dtype == jnp.bfloat16:
+        x32 = x.astype(jnp.float32)
+        s1 = jnp.sum(x32 * m, axis=1, keepdims=True)
+        s2 = jnp.sum(jnp.square(x32) * m, axis=1, keepdims=True)
+        mean = s1 / n
+        # clamp: one-pass cancellation can dip below -eps on near-constant
+        # channels and NaN the rsqrt
+        var = jnp.maximum(s2 / n - mean * mean, 0.0)
+        y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+        return (y * p["scale"] + p["bias"]).astype(x.dtype)
     mean = jnp.sum(x * m, axis=1, keepdims=True) / n
     var = jnp.sum(jnp.square(x - mean) * m, axis=1, keepdims=True) / n
     y = (x - mean) * jax.lax.rsqrt(var + eps)

@@ -642,32 +642,10 @@ def flash_attention_packed(
         block_kv = block_q
     block_q = min(block_q, _round_up(t, 128))
     block_kv = min(block_kv, _round_up(t, 128))
-    # Keep the step's VMEM inside the scoped limit: double-buffered slabs +
-    # f32 scratch + ~4 transient (BQ, BK) f32 tiles (s, p, col/mask, exp
-    # temps — omitting these OOMed MERT's 768/768/hd=768 shape at 26.6 MB vs
-    # the 16 MB limit). Halve the larger block dim until the estimate fits
-    # (768/768 -> 384/384 at MERT; w2v2 bf16 keeps the measured 512/512,
-    # f32 gets 256/512 — the configs that compiled and won the probes).
     pb_bytes = position_bias.dtype.itemsize if has_bias else 0
-    while max(block_q, block_kv) > 128:
-        est = (
-            2 * (block_q + 2 * block_kv) * hd * q.dtype.itemsize  # q/k/v slabs
-            + 2 * block_q * hd * q.dtype.itemsize  # out
-            + block_q * hd * 4  # acc
-            + 2 * block_q * 128 * 4  # m, l (lane-padded)
-            + 4 * block_q * block_kv * 4  # transient logits/weights tiles
-            # double-buffered (H, BQ, BK) position-bias slab + (BQ, H) gate
-            # (both zero when bias-free — these terms must not perturb the
-            # whole-model-A/B'd block configs of the plain packed kernel)
-            + 2 * num_heads * block_q * block_kv * pb_bytes
-            + (2 * block_q * max(num_heads, 128) * 4 if has_bias else 0)
-        )
-        if est <= _PACKED_VMEM_BUDGET:
-            break
-        if block_q >= block_kv:
-            block_q //= 2
-        else:
-            block_kv //= 2
+    block_q, block_kv = _fit_packed_blocks(
+        block_q, block_kv, hd, q.dtype.itemsize, num_heads, pb_bytes, has_bias
+    )
     tp = _round_up(t, max(block_q, block_kv))
     assert tp % block_q == 0 and tp % block_kv == 0
     if tp != t:
@@ -732,6 +710,41 @@ def flash_attention_packed(
 
 
 _PACKED_VMEM_BUDGET = 13 * 2**20
+
+
+def _fit_packed_blocks(
+    block_q: int, block_kv: int, hd: int, itemsize: int, num_heads: int,
+    pb_bytes: int, has_bias: bool,
+) -> tuple[int, int]:
+    """Halve the larger block dim until the step's VMEM estimate fits.
+
+    Estimate: double-buffered q/k/v/out slabs + f32 scratch + ~4 transient
+    (BQ, BK) f32 tiles (s, p, col/mask, exp temps — omitting these OOMed
+    MERT's 768/768/hd=768 shape at 26.6 MB vs the 16 MB limit), plus the
+    double-buffered (H, BQ, BK) position-bias slab and (BQ, H) gate when the
+    factorized bias is streamed. The bias terms MUST vanish when bias-free:
+    the plain configs are whole-model-A/B'd (w2v2 bf16 512/512, f32 256/512,
+    MERT 384/768) and pinned by tests/test_flash_attention.py.
+    """
+    while max(block_q, block_kv) > 128:
+        est = (
+            2 * (block_q + 2 * block_kv) * hd * itemsize  # q/k/v slabs
+            + 2 * block_q * hd * itemsize  # out
+            + block_q * hd * 4  # acc
+            + 2 * block_q * 128 * 4  # m, l (lane-padded)
+            + 4 * block_q * block_kv * 4  # transient logits/weights tiles
+            + 2 * num_heads * block_q * block_kv * pb_bytes
+            + (2 * block_q * max(num_heads, 128) * 4 if has_bias else 0)
+        )
+        if est <= _PACKED_VMEM_BUDGET:
+            break
+        if block_q >= block_kv:
+            block_q //= 2
+        else:
+            block_kv //= 2
+    return block_q, block_kv
+
+
 
 
 # Scoped-VMEM budget for the grouped slabs. The hardware limit is 16 MB; the

@@ -392,3 +392,21 @@ def test_packed_factorized_bias_matches_wavlm_core(b, h, t, d):
             np.asarray(out[bi, :n]), ref_packed[bi, :n], atol=5e-6
         )
     assert bool(jnp.isfinite(out).all())
+
+
+def test_packed_block_configs_pinned():
+    """The whole-model-A/B'd block configs of the PLAIN packed kernel must
+    not move when the bias-path VMEM terms change (a review caught the gate
+    term being added unconditionally, which silently shrank MERT's blocks)."""
+    from fadtk_tpu.ops.flash_attention import _fit_packed_blocks, _pick_block
+
+    # w2v2 bf16: T=499 -> 512 start, hd=768, stays 512/512
+    assert _fit_packed_blocks(512, 512, 768, 2, 12, 0, False) == (512, 512)
+    # w2v2 f32: shrinks once to 256/512
+    assert _fit_packed_blocks(512, 512, 768, 4, 12, 0, False) == (256, 512)
+    # MERT bf16: T=749 -> single 768 block start, fits at 384/768
+    assert _pick_block(749) == 768
+    assert _fit_packed_blocks(768, 768, 768, 2, 12, 0, False) == (384, 768)
+    # wavlm bias path shrinks further to make room for the (H, BQ, BK) slab
+    bq, bk = _fit_packed_blocks(512, 512, 768, 2, 12, 4, True)
+    assert max(bq, bk) <= 512 and (bq, bk) != (512, 512)
