@@ -166,3 +166,35 @@ def test_swin_window_merge_matches_unmerged(monkeypatch, g):
     monkeypatch.setenv("FADTK_TPU_SWIN_MERGE", str(g))
     merged = np.asarray(jax.jit(lambda p, x: htsat_forward(HTSAT_TINY, p, x))(params, feats))
     np.testing.assert_allclose(merged, base, rtol=2e-6, atol=2e-6)
+
+
+def test_swin_window_merge_base_config(monkeypatch):
+    """Same merge-equivalence pin at the HTSAT-base geometry (embed 128,
+    head_dim 32 — the clap-laion-music tower), so both production head_dims
+    are covered."""
+    import jax
+
+    from fadtk_tpu.models.htsat import HTSAT_BASE, init_htsat_params
+
+    params = init_htsat_params(HTSAT_BASE, jax.random.PRNGKey(1), projection_dim=None)
+    rng = np.random.default_rng(1)
+    feats = jnp.asarray(rng.standard_normal((1, 1, 600, 64)) * 0.5, jnp.float32)
+
+    monkeypatch.setenv("FADTK_TPU_SWIN_MERGE", "1")
+    base = np.asarray(jax.jit(lambda p, x: htsat_forward(HTSAT_BASE, p, x))(params, feats))
+    monkeypatch.setenv("FADTK_TPU_SWIN_MERGE", "2")
+    merged = np.asarray(jax.jit(lambda p, x: htsat_forward(HTSAT_BASE, p, x))(params, feats))
+    np.testing.assert_allclose(merged, base, rtol=2e-6, atol=2e-6)
+
+
+def test_swin_merge_zero_means_off(monkeypatch):
+    """FADTK_TPU_SWIN_MERGE=0 must disable merging (review finding: it
+    silently fell through to the default 2)."""
+    from fadtk_tpu.models.htsat import _swin_merge_factor
+
+    monkeypatch.setenv("FADTK_TPU_SWIN_MERGE", "0")
+    assert _swin_merge_factor() == 1
+    monkeypatch.setenv("FADTK_TPU_SWIN_MERGE", "4")
+    assert _swin_merge_factor() == 4
+    monkeypatch.delenv("FADTK_TPU_SWIN_MERGE")
+    assert _swin_merge_factor() == 2
