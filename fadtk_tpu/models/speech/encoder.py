@@ -290,13 +290,21 @@ def wavlm_attention(cfg: SpeechEncoderConfig, p, x, key_bias, position_bias, fra
     the kernel's n_valid. f32 stays on XLA for HF parity.
     """
     b, t, _ = x.shape
-    gated_hs = x.reshape(b, t, cfg.num_heads, cfg.head_dim).transpose(0, 2, 1, 3)
-    proj = gated_hs @ p["gru_rel_pos_linear"]["kernel"] + p["gru_rel_pos_linear"]["bias"]
-    proj = proj.reshape(b, cfg.num_heads, t, 2, 4).sum(-1)
+    # Gate computed in (B, T, H) layout: the projection contracts head_dim in
+    # place (same dot, no (B,T,H,hd)->(B,H,T,hd) transpose materialized), and
+    # the packed flash kernel consumes (B, T, H) directly — the bf16 path runs
+    # transpose-free. Bit-identical to the (B,H,T) formulation (same
+    # contraction; tests/test_hf_differential.py covers HF parity).
+    hs = x.reshape(b, t, cfg.num_heads, cfg.head_dim)
+    proj = (
+        jnp.einsum("bthd,de->bthe", hs, p["gru_rel_pos_linear"]["kernel"])
+        + p["gru_rel_pos_linear"]["bias"]
+    )
+    proj = proj.reshape(b, t, cfg.num_heads, 2, 4).sum(-1)
     gates = jax.nn.sigmoid(proj)
-    gate_a, gate_b = gates[..., 0], gates[..., 1]  # (B, H, T)
-    const = p["gru_rel_pos_const"].reshape(1, cfg.num_heads, 1)
-    gate = gate_a * (gate_b * const - 1.0) + 2.0  # (B, H, T)
+    gate_a, gate_b = gates[..., 0], gates[..., 1]  # (B, T, H)
+    const = p["gru_rel_pos_const"].reshape(1, 1, cfg.num_heads)
+    gate_bth = gate_a * (gate_b * const - 1.0) + 2.0  # (B, T, H)
 
     q = x @ p["q_proj"]["kernel"] + p["q_proj"]["bias"]
     k = x @ p["k_proj"]["kernel"] + p["k_proj"]["bias"]
@@ -313,11 +321,12 @@ def wavlm_attention(cfg: SpeechEncoderConfig, p, x, key_bias, position_bias, fra
         out = flash_attention_packed(
             q, k, v, frame_valid,
             position_bias.astype(jnp.float32),
-            gate.transpose(0, 2, 1).astype(jnp.float32),  # (B, T, H)
+            gate_bth.astype(jnp.float32),  # (B, T, H)
             num_heads=cfg.num_heads,
         )
     else:
         qh, kh, vh = (_split_heads(y, cfg.num_heads) for y in (q, k, v))
+        gate = gate_bth.transpose(0, 2, 1)  # (B, H, T)
         gated_bias = gate[..., None] * position_bias[None]  # (B, H, T, T)
         out = _attention_core(qh, kh, vh, gated_bias + key_bias)
     return out @ p["out_proj"]["kernel"] + p["out_proj"]["bias"]

@@ -185,7 +185,16 @@ def _decoder_layer(cfg, p, x, enc_states):
 
 
 def whisper_decode(cfg: WhisperConfig, params, token_ids: jax.Array, enc_states: jax.Array):
-    """(B, T) tokens + encoder states -> (B, T, d) decoder last hidden state."""
+    """(B, T) tokens + encoder states -> (B, T, d) decoder last hidden state.
+
+    Measured dead end (round 5, scripts/whisper_kv_hoist_probe.py): hoisting
+    all layers' cross-attention k/v projections of the shared enc_states into
+    ONE wide pre-loop GEMM (the classic encoder-KV cache) ran 0.92x on base
+    (both dtypes) and 0.95x on large bf16 — the concatenated output is a
+    large HBM buffer the layers must re-read, where the per-layer GEMMs fuse
+    into their consuming attention and overlap with the surrounding ops.
+    The per-layer path below is the measured winner.
+    """
     dec = params["decoder"]
     x = jnp.take(dec["embed_tokens"], token_ids, axis=0)
     x = x + dec["embed_positions"][None, : token_ids.shape[1]]
