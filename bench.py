@@ -1070,7 +1070,30 @@ def main() -> None:
         "vs_baseline": round(tpu / cpu, 2),
     }
     if families:
-        line["families"] = families
+        # The driver captures only a ~4k-char stdout tail, so the headline
+        # line must stay compact (round-3 verdict weak #1: the full sweep with
+        # per-family prose notes arrived truncated and BENCH_r03 parsed as
+        # null). Emit numbers only — audio-s/s and % of the measured matmul
+        # roofline per family/dtype; the full entries (gflops, ms/call,
+        # notes, errors) live in .bench_cache/families.json, written by
+        # bench_families() above.
+        compact: dict = {}
+        if families.get("measured_matmul_tf"):
+            compact["matmul_tf"] = families["measured_matmul_tf"]
+        for name, per_dtype in families.items():
+            if not isinstance(per_dtype, dict) or "float32" not in per_dtype:
+                continue
+            row = {}
+            for dtype_name, short in (("float32", "f32"), ("bfloat16", "bf16")):
+                e = per_dtype.get(dtype_name)
+                if not isinstance(e, dict) or "audio_sec_per_sec" not in e:
+                    continue
+                row[short] = e["audio_sec_per_sec"]
+                if "pct_of_measured_roofline" in e:
+                    row[f"{short}_pct"] = e["pct_of_measured_roofline"]
+            if row:
+                compact[name] = row
+        line["families"] = compact
 
     # Device-path numeric gate (r2 verdict #8): exit 0 = golden scores
     # reproduced on this backend; 2 = regression; -9 = timed out.

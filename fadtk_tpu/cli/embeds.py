@@ -16,9 +16,11 @@ from argparse import ArgumentParser
 
 from ..models.registry import get_all_models
 from ..runner.batch import cache_embedding_files_multi
+from ..utils import configure_compile_cache
 
 
 def main() -> None:
+    configure_compile_cache()  # entry point, not import time (r3 verdict #5)
     models = {m.name: m for m in get_all_models()}
 
     ap = ArgumentParser(prog="fadtk-embeds")

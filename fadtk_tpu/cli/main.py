@@ -19,10 +19,11 @@ from pathlib import Path
 from ..models.registry import get_all_models
 from ..runner.batch import cache_embedding_files
 from ..runner.fad import FrechetAudioDistance
-from ..utils import log
+from ..utils import configure_compile_cache, log
 
 
 def main() -> None:
+    configure_compile_cache()  # entry point, not import time (r3 verdict #5)
     models = {m.name: m for m in get_all_models()}
 
     ap = ArgumentParser(prog="fadtk")

@@ -20,10 +20,11 @@ import numpy as np
 
 from ..models.registry import get_all_models
 from ..runner.fad import FrechetAudioDistance
-from ..utils import log
+from ..utils import configure_compile_cache, log
 
 
 def main() -> None:
+    configure_compile_cache()  # entry point, not import time (r3 verdict #5)
     ap = ArgumentParser(prog="fadtk-package")
     ap.add_argument("directory", type=str)
     ap.add_argument("out", type=str)

@@ -30,7 +30,7 @@ import numpy as np
 
 from ..models.registry import get_all_models
 from ..runner.fad import FrechetAudioDistance
-from ..utils import dataset_files, log
+from ..utils import configure_compile_cache, dataset_files, log
 from ..weights.store import MissingWeightsError
 
 
@@ -53,6 +53,7 @@ def _read_golden(path: Path) -> tuple[list[str], dict[str, dict[str, float]]]:
 
 
 def main() -> None:
+    configure_compile_cache()  # entry point, not import time (r3 verdict #5)
     ap = ArgumentParser(prog="fadtk-test")
     default_ref = os.environ.get("FADTK_REF_TEST", "/root/reference/fadtk/test")
     ap.add_argument("--samples", type=str, default=f"{default_ref}/samples")

@@ -85,7 +85,7 @@ def _attention(p, x, kv, num_heads, causal=False):
     XLA vs 32.2 ms flash for the full forward) — this path computes logits
     in x.dtype, so the bf16 mode never materializes f32 weights and XLA's
     fused softmax wins; the speech encoders differ (f32 logits for parity).
-    Re-probed in round 4 for f32 at the whisper-large encoder geometry
+    Re-probed in round 3 for f32 at the whisper-large encoder geometry
     (B=16, H=20, T=1500): XLA 9.51 ms vs flash 10.51 ms isolated — XLA's
     blocked softmax handles even the (B,H,T,T) f32 logits well, so flash
     stays off in both dtypes.
@@ -187,7 +187,7 @@ def _decoder_layer(cfg, p, x, enc_states):
 def whisper_decode(cfg: WhisperConfig, params, token_ids: jax.Array, enc_states: jax.Array):
     """(B, T) tokens + encoder states -> (B, T, d) decoder last hidden state.
 
-    Measured dead end (round 5, scripts/whisper_kv_hoist_probe.py): hoisting
+    Measured dead end (round 3, scripts/whisper_kv_hoist_probe.py): hoisting
     all layers' cross-attention k/v projections of the shared enc_states into
     ONE wide pre-loop GEMM (the classic encoder-KV cache) ran 0.92x on base
     (both dtypes) and 0.95x on large bf16 — the concatenated output is a

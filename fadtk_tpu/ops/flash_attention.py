@@ -30,7 +30,7 @@ scratch and is re-initialized when kv_idx == 0 and flushed at the last kv
 block. Time is padded to a multiple of the block sizes at the caller and the
 padding is folded into the key mask.
 
-What binds the kernel (measured, round 4, B=128/H=12/T=499 bf16 = 7.4 ms):
+What binds the kernel (measured, round 3, B=128/H=12/T=499 bf16 = 7.4 ms):
 NOT the elementwise VPU passes — replacing exp with a 2-op linear gave
 7.43 -> 7.67 ms (noise), and removing two full (BQ, BK) passes (folding the
 1/sqrt(d) scale into q + turning the iota/select mask into a (1, BK) row-mask
@@ -51,7 +51,7 @@ bf16 recovered only 1.4 ms more) but the per-head gate*pb VPU add passes
 and the gate projection itself — a semantic cost. The per-(b,h) kernel
 remains as the tested fallback.
 
-What binds the PACKED kernel (measured, round 4, same geometry = 4.13 ms):
+What binds the PACKED kernel (measured, round 3, same geometry = 4.13 ms):
 fast_exp and fast_dot are dead ends here too (4.15 / 4.12 / 4.15 ms for
 exp-in-bf16 / dots-in-bf16 / both — scripts/flash_packed_fastmath_probe.py).
 The floor is structural: the logits dot (BQ, 64)x(64, BK) and the av dot

@@ -2,7 +2,7 @@
 
 One executable, two inputs: a full-length batch (every kv/q block computed)
 vs a ragged batch (clips ~30% of the bucket -> blocks beyond n_valid skip
-compute AND DMA via the clamped index maps). Before round 4 the two ran in
+compute AND DMA via the clamped index maps). Before round 3 the two ran in
 identical time; with the skip, attention work scales ~ ceil(nv/block)^2.
 
 Shape: w2v2-base bf16 at the 20 s bucket (T=999 -> two 512-blocks per axis),

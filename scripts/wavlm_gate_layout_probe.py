@@ -67,30 +67,36 @@ def main() -> None:
     params32 = enc.init_speech_encoder_params(cfg, jax.random.PRNGKey(0))
     new_attn = enc.wavlm_attention
 
-    for dtype_name, dt in (("bf16", jnp.bfloat16), ("f32", jnp.float32)):
-        p = jax.tree.map(
-            lambda a: a.astype(dt) if a.dtype == jnp.float32 else a, params32
-        )
-        for mode, fn in (("new", new_attn), ("old", old_wavlm_attention)):
-            enc.wavlm_attention = fn
+    # try/finally: the module-level monkeypatch must not outlive the loop, and
+    # per-case failures still leave partial results in .bench_cache.
+    try:
+        for dtype_name, dt in (("bf16", jnp.bfloat16), ("f32", jnp.float32)):
+            p = jax.tree.map(
+                lambda a: a.astype(dt) if a.dtype == jnp.float32 else a, params32
+            )
+            for mode, fn in (("new", new_attn), ("old", old_wavlm_attention)):
+                enc.wavlm_attention = fn
 
-            @jax.jit
-            def step(acc, p, a, nv):
-                states, _ = enc.speech_encoder_forward(
-                    cfg, p, (a + acc * 1e-12).astype(dt), nv, taps=(cfg.num_layers,)
-                )
-                return acc + states[0].astype(jnp.float32).sum()
+                @jax.jit
+                def step(acc, p, a, nv):
+                    states, _ = enc.speech_encoder_forward(
+                        cfg, p, (a + acc * 1e-12).astype(dt), nv, taps=(cfg.num_layers,)
+                    )
+                    return acc + states[0].astype(jnp.float32).sum()
 
-            key = f"{dtype_name}-{mode}"
-            out[key] = round(window_ms(step, (p, audio, nv), rtt), 2)
-            print(json.dumps({key: out[key]}), flush=True)
-    enc.wavlm_attention = new_attn
-
-    print(json.dumps(out))
-    path = os.path.join(os.path.dirname(__file__), "..", ".bench_cache")
-    os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, "wavlm_gate_layout.json"), "w") as f:
-        json.dump(out, f, indent=1)
+                key = f"{dtype_name}-{mode}"
+                try:
+                    out[key] = round(window_ms(step, (p, audio, nv), rtt), 2)
+                except Exception as e:
+                    out[key] = {"error": str(e)[:200]}
+                print(json.dumps({key: out[key]}), flush=True)
+    finally:
+        enc.wavlm_attention = new_attn
+        print(json.dumps(out))
+        path = os.path.join(os.path.dirname(__file__), "..", ".bench_cache")
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "wavlm_gate_layout.json"), "w") as f:
+            json.dump(out, f, indent=1)
 
 
 if __name__ == "__main__":
