@@ -33,7 +33,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from .frechet import _ns_sqrt_sym
-from .stats import welford_finalize, welford_init, welford_update
+from .stats import (
+    welford_finalize,
+    welford_init,
+    welford_merge_across,
+    welford_update,
+)
 
 
 @jax.jit
@@ -44,13 +49,29 @@ def _sqrt_psd_eigh(m: jax.Array) -> jax.Array:
     return (u * jnp.sqrt(jnp.clip(ev, 0.0, None))) @ u.T
 
 
+def _fad_trace_step(mu1, s1, tr1, n_i, d, mu2, cov2):
+    """FAD of (mu2, cov2) against the factored baseline, trace path chosen by
+    sample size: subsample sizes below d (min_n=500 vs d up to 1280) make cov2
+    singular, where Newton-Schulz NaNs — those points take the exact eigvalsh
+    trace. Well-sampled points (n >= 4d: full-rank with margin) keep the ~2x
+    faster pure-matmul NS trace."""
+    m = s1 @ cov2 @ s1
+    msym = (m + m.T) * 0.5
+    tr_sqrt = jax.lax.cond(
+        n_i >= 4 * d,
+        lambda mm: jnp.trace(_ns_sqrt_sym(mm, 30)),
+        lambda mm: jnp.sum(jnp.sqrt(jnp.clip(jnp.linalg.eigvalsh(mm), 0.0, None))),
+        msym,
+    )
+    diff = mu1 - mu2
+    return jnp.dot(diff, diff) + tr1 + jnp.trace(cov2) - 2.0 * tr_sqrt
+
+
 def _fad_inf_steps(mu1, cov1, embeds, ns, keys):
     """embeds: (N, D) f32; ns/keys: (steps,). Returns (steps,) FAD scores.
 
-    Pure scan body shared by the single-device jit and the dp-sharded
-    shard_map (steps are mutually independent, so the sweep splits across the
-    mesh's dp axis with embeds replicated — each chip scans its slice of the
-    ns grid with the SAME per-step PRNG keys, so sharded == single-device)."""
+    Single-device sweep: one lax.scan over the ns grid, each step a
+    with-replacement subsample + masked Welford + trace."""
     n_total, d = embeds.shape
     max_n = n_total
     s1 = _sqrt_psd_eigh(cov1)
@@ -63,22 +84,7 @@ def _fad_inf_steps(mu1, cov1, embeds, ns, keys):
         mask = (jnp.arange(max_n) < n_i).astype(jnp.float32)
         st = welford_update(welford_init(d), sample, mask)
         mu2, cov2 = welford_finalize(st)
-
-        m = s1 @ cov2 @ s1
-        msym = (m + m.T) * 0.5
-        # Subsample sizes below d (min_n=500 vs d up to 1280) make cov2
-        # singular, where Newton-Schulz NaNs — those points take the exact
-        # eigvalsh trace. Well-sampled points (n >= 4d: full-rank with margin)
-        # keep the ~2x faster pure-matmul NS trace.
-        tr_sqrt = jax.lax.cond(
-            n_i >= 4 * d,
-            lambda mm: jnp.trace(_ns_sqrt_sym(mm, 30)),
-            lambda mm: jnp.sum(jnp.sqrt(jnp.clip(jnp.linalg.eigvalsh(mm), 0.0, None))),
-            msym,
-        )
-        diff = mu1 - mu2
-        fad = jnp.dot(diff, diff) + tr1 + jnp.trace(cov2) - 2.0 * tr_sqrt
-        return carry, fad
+        return carry, _fad_trace_step(mu1, s1, tr1, n_i, d, mu2, cov2)
 
     _, fads = jax.lax.scan(step, None, (ns, keys))
     return fads
@@ -87,22 +93,79 @@ def _fad_inf_steps(mu1, cov1, embeds, ns, keys):
 _fad_inf_scan = jax.jit(_fad_inf_steps)
 
 
+def _fad_inf_steps_dp(mu1, cov1, embeds_local, valid_local, quotas, ns, keys):
+    """dp-sharded sweep body: each chip holds ONLY its (Nl, D) shard of the
+    frame matrix (round-3 verdict #1 — the replicated (N, D) matrix could not
+    fit north-star datasets: fma_pop-scale N*D*4 B runs to tens of GB, past a
+    chip's HBM, while sharded HBM drops as N/dp).
+
+    Per sweep step, every chip draws its host-computed quota of the global
+    subsample (with replacement, uniform within its shard; quotas split
+    n_i proportionally to shard valid counts, so the union is uniform over
+    the dataset), folds a local masked-Welford partial, and one psum
+    (stats.welford_merge_across — the generalized Chan identity) produces the
+    step's global (mu, cov). The (d, d) trace math then runs replicated.
+
+    Statistically identical to the single-device sweep (same estimator, same
+    1/n bias structure); NOT bit-identical (different draws compose the
+    subsample) — seeded reproducibility holds per (seed, mesh shape).
+
+    embeds_local: (Nl, D) this chip's rows (zero-padded); valid_local: (1,)
+    count of valid rows here; quotas: (steps, dp) per-chip draw counts
+    (replicated, exact-integer host split summing to ns); ns/keys: (steps,)
+    replicated. Returns (steps,) FADs, identical on every chip.
+    """
+    cap, d = embeds_local.shape
+    s1 = _sqrt_psd_eigh(cov1)
+    tr1 = jnp.trace(cov1)
+    shard = jax.lax.axis_index("dp")
+    v = valid_local[0]
+
+    def step(carry, inputs):
+        n_i, k, quota_row = inputs
+        n_local = quota_row[shard]
+        # quota <= valid (floor-diff split), so a (cap,) buffer always fits.
+        idx = jax.random.randint(
+            jax.random.fold_in(k, shard), (cap,), 0, jnp.maximum(v, 1)
+        )
+        sample = jnp.take(embeds_local, idx, axis=0)
+        mask = (jnp.arange(cap) < n_local).astype(jnp.float32)
+        st = welford_update(welford_init(d), sample, mask)
+        st = welford_merge_across(st, "dp")
+        mu2, cov2 = welford_finalize(st)
+        return carry, _fad_trace_step(mu1, s1, tr1, n_i, d, mu2, cov2)
+
+    _, fads = jax.lax.scan(step, None, (ns, keys, quotas))
+    return fads
+
+
 def _fad_inf_sharded(mesh):
-    """Sweep steps sharded over the mesh's dp axis (embeds replicated)."""
+    """FRAMES sharded over the mesh's dp axis; the sweep runs collectively
+    (per-step psum-merged Welford). Per-chip HBM = N/dp rows + one sample
+    buffer, vs the full (N, D) replica of the round-3 design."""
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     return jax.jit(
         shard_map(
-            _fad_inf_steps,
+            _fad_inf_steps_dp,
             mesh=mesh,
-            in_specs=(P(), P(), P(), P("dp"), P("dp")),
-            out_specs=P("dp"),
-            # No collectives inside; independence per step is the invariant
-            # (tests pin sharded == single-device).
+            in_specs=(P(), P(), P("dp"), P("dp"), P(), P(), P()),
+            out_specs=P(),
+            # welford_merge_across's psums make the output replicated.
             check_vma=False,
         )
     )
+
+
+def _dp_quota_split(ns: np.ndarray, valid: np.ndarray) -> np.ndarray:
+    """Exact integer split of each subsample size proportional to shard valid
+    counts: floor-diff over the prefix sums. Each row sums to exactly n_i and
+    each chip's quota <= its valid count (so a (Nl,) sample buffer always
+    fits). Returns (steps, dp) int32."""
+    cum = np.concatenate([[0], np.cumsum(np.asarray(valid, np.int64))])
+    edges = np.asarray(ns, np.int64)[:, None] * cum[None, :] // max(cum[-1], 1)
+    return np.diff(edges, axis=1).astype(np.int32)
 
 
 def fad_inf_device(
@@ -117,29 +180,41 @@ def fad_inf_device(
     """Device FAD-inf sweep. Returns (score, slope, r2, points) — the same
     1/n linear extrapolation as the reference (fadtk/fad.py:343-351).
 
-    ``mesh``: optional (dp, tp) Mesh — the 25 sweep steps split across dp
-    chips (each holds a replica of the frame matrix), same keys per step so
-    scores match the single-device sweep."""
+    ``mesh``: optional (dp, tp) Mesh — the FRAME MATRIX shards across dp
+    chips (per-chip HBM ~ N/dp, so fma_pop-scale datasets fit), and each
+    sweep step is a collective: per-chip quota subsample -> local Welford ->
+    one psum merge. Sharded scores are statistically equivalent to (not
+    bit-identical with) the single-device sweep; both are seeded."""
     max_n = len(embeds)
     ns = np.array([int(n) for n in np.linspace(min_n, max_n, steps)], np.int32)
     keys = jax.random.split(jax.random.PRNGKey(seed), steps)
 
-    args = (
-        jnp.asarray(mu_base, jnp.float32),
-        jnp.asarray(cov_base, jnp.float32),
-        jnp.asarray(np.asarray(embeds), jnp.float32),
-    )
+    mu1 = jnp.asarray(mu_base, jnp.float32)
+    cov1 = jnp.asarray(cov_base, jnp.float32)
+    embeds = np.asarray(embeds, np.float32)
     if mesh is not None and mesh.shape["dp"] > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
         dp = mesh.shape["dp"]
-        pad = (-steps) % dp
-        ns_p = np.concatenate([ns, np.repeat(ns[-1:], pad)]).astype(np.int32)
-        keys_p = jnp.concatenate([keys, jnp.repeat(keys[-1:], pad, axis=0)])
+        nl = -(-max_n // dp)  # rows per chip (last shard zero-padded)
+        valid = np.clip(max_n - nl * np.arange(dp), 0, nl).astype(np.int32)
+        quotas = _dp_quota_split(ns, valid)  # (steps, dp)
+        padded = np.zeros((nl * dp, embeds.shape[1]), np.float32)
+        padded[:max_n] = embeds
+        sharded_rows = jax.device_put(padded, NamedSharding(mesh, P("dp")))
         fads = np.asarray(
-            _fad_inf_sharded(mesh)(*args, jnp.asarray(ns_p), keys_p)[:steps],
+            _fad_inf_sharded(mesh)(
+                mu1, cov1, sharded_rows,
+                jax.device_put(jnp.asarray(valid), NamedSharding(mesh, P("dp"))),
+                jnp.asarray(quotas), jnp.asarray(ns), keys,
+            ),
             dtype=np.float64,
         )
     else:
-        fads = np.asarray(_fad_inf_scan(*args, jnp.asarray(ns), keys), np.float64)
+        fads = np.asarray(
+            _fad_inf_scan(mu1, cov1, jnp.asarray(embeds), jnp.asarray(ns), keys),
+            np.float64,
+        )
 
     xs = 1.0 / ns.astype(np.float64)
     slope, intercept = np.polyfit(xs, fads, 1)

@@ -13,6 +13,20 @@ out = layer_norm(p1 + dropout(linear2(gelu(p1)))).
 Mel frontend (msclap HTSAT config_2023): fft 1024, hop 320, 64 slaney mels.
 The fmin/fmax defaults below (50/14000) follow the msclap 2023 config; they are
 recorded as conversion metadata so real checkpoints are self-describing.
+
+fmin/fmax provenance (round-4 bounded search — verified-unavailable offline):
+the msclap package (1.3.4, pinned by the reference's uv.lock:578-595) is not
+installed and its sdist/wheel is in no cache on this machine (searched: pip
+site-packages, ~/.cache/uv wheels-v5 + sdists-v9, /root/reference, the
+retrieved PAPERS.md/SNIPPETS.md — zero hits for the feature-extractor config).
+50/14000 are the values msclap's config yamls use for the HTSAT audio tower
+(same as the CLAP 2022/2023 papers' mel settings); they remain a transcription
+from memory of the public repo, NOT a file read from disk. When a checkpoint
+or the package appears: weights/convert_cli.py stores these as metadata, so a
+mismatch surfaces as a one-line metadata diff, and scripts/real_parity.sh is
+the gate. Everything downstream (schema inventory incl. the bias-free
+Projection linears, chunking, head math) is transcribed from real sources
+(weights/schemas.py).
 """
 
 from __future__ import annotations

@@ -13,6 +13,8 @@ process pool per host); this module is the jax.distributed equivalent of
 
 from __future__ import annotations
 
+import os
+
 import jax
 
 from ..utils import log
@@ -23,9 +25,16 @@ def initialize(coordinator_address: str | None = None,
                process_id: int | None = None) -> None:
     """jax.distributed.initialize with env-based autodetection on TPU pods.
 
-    On Cloud TPU the arguments are discovered from the metadata environment;
-    pass them explicitly elsewhere.
+    On Cloud TPU the arguments are discovered from the metadata environment.
+    Elsewhere pass them explicitly, or export JAX_COORDINATOR_ADDRESS /
+    JAX_NUM_PROCESSES / JAX_PROCESS_ID (jax itself only reads the first; the
+    other two fill the gap for launchers without cluster autodetection, and
+    let `fadtk ... --multihost` run without per-site wrapper scripts).
     """
+    if num_processes is None and (v := os.environ.get("JAX_NUM_PROCESSES")):
+        num_processes = int(v)
+    if process_id is None and (v := os.environ.get("JAX_PROCESS_ID")):
+        process_id = int(v)
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

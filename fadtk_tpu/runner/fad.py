@@ -90,8 +90,9 @@ class FrechetAudioDistance:
         on the accelerator (float32 Newton-Schulz; ~1e-3 relative vs the host
         float64 parity path — see metric/device_scoring.py).
         ``scoring_mesh``: optional (dp, tp) Mesh for those loops — the FAD-inf
-        sweep steps and per-song batches shard over dp (sharded ==
-        single-device scores; tested)."""
+        FRAME MATRIX and per-song batches shard over dp (per-song sharded ==
+        single-device scores; the FAD-inf sweep is statistically equivalent
+        with per-chip HBM ~ N/dp — see metric/device_scoring.py)."""
         self.ml = ml
         self.audio_load_worker = audio_load_worker
         self.frechet_method = frechet_method

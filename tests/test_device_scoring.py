@@ -171,26 +171,61 @@ def test_per_song_frame_dense_uses_dxd_gram():
         np.testing.assert_allclose(s, host, rtol=2e-3, atol=2e-3)
 
 
-def test_fad_inf_sharded_matches_single_device():
-    """The FAD-inf sweep dp-sharded over the 8-device mesh == the
-    single-device scan (same per-step PRNG keys; VERDICT r2 #7)."""
+def test_fad_inf_dp_quota_split_exact():
+    """The host quota split is exact: every row sums to n_i and no chip's
+    quota exceeds its shard's valid rows (the (Nl,) buffer bound)."""
+    from fadtk_tpu.metric.device_scoring import _dp_quota_split
+
+    rng = np.random.default_rng(5)
+    for _ in range(50):
+        dp = int(rng.integers(2, 9))
+        nl = int(rng.integers(1, 400))
+        n_total = int(rng.integers(1, dp * nl + 1))
+        valid = np.clip(n_total - nl * np.arange(dp), 0, nl).astype(np.int32)
+        ns = rng.integers(1, n_total + 1, size=12).astype(np.int32)
+        q = _dp_quota_split(ns, valid)
+        assert q.shape == (12, dp)
+        assert (q >= 0).all()
+        np.testing.assert_array_equal(q.sum(axis=1), ns)
+        assert (q <= valid[None, :]).all()
+
+
+def test_fad_inf_sharded_frames_tall_n():
+    """FRAMES sharded over the 8-device dp mesh (round-3 verdict #1: the
+    matrix is no longer replicated per chip — in_specs P('dp'), per-chip HBM
+    ~ N/dp). N = 8x the per-chip shard and not divisible by dp. The sharded
+    sweep is statistically equivalent, not bit-equal, to single-device: both
+    intercepts must land on the full-set FAD, and the same seed + mesh must
+    reproduce exactly."""
+    from fadtk_tpu.metric.frechet import frechet_distance
     from fadtk_tpu.parallel.mesh import make_mesh
 
     rng = np.random.default_rng(3)
-    d = 24
-    base = rng.standard_normal((600, d)).astype(np.float32)
+    d = 16
+    base = rng.standard_normal((3000, d)).astype(np.float32)
     mu_b, cov_b = calc_embd_statistics(base)
-    embeds = (rng.standard_normal((900, d)) * 1.1 + 0.2).astype(np.float32)
-
-    single = fad_inf_device(mu_b, cov_b, embeds, steps=10, min_n=50, seed=7)
-    sharded = fad_inf_device(
-        mu_b, cov_b, embeds, steps=10, min_n=50, seed=7, mesh=make_mesh(8)
+    embeds = (rng.standard_normal((4100, d)) * 1.1 + 0.2).astype(np.float32)
+    true = frechet_distance(
+        mu_b, cov_b, *calc_embd_statistics(embeds.astype(np.float64))
     )
-    # steps=10 over dp=8 also exercises the ns/keys padding branch.
-    np.testing.assert_allclose(single[0], sharded[0], rtol=1e-5)
-    for (n1, f1), (n2, f2) in zip(single[3], sharded[3]):
-        assert n1 == n2
-        np.testing.assert_allclose(f1, f2, rtol=1e-4)
+
+    mesh = make_mesh(8)
+    single = fad_inf_device(mu_b, cov_b, embeds, steps=15, min_n=400, seed=7)
+    sh_a = fad_inf_device(mu_b, cov_b, embeds, steps=15, min_n=400, seed=7, mesh=mesh)
+    sh_b = fad_inf_device(mu_b, cov_b, embeds, steps=15, min_n=400, seed=7, mesh=mesh)
+
+    # Seeded reproducibility is exact per (seed, mesh shape).
+    assert sh_a[0] == sh_b[0]
+    for (n1, f1), (n2, f2) in zip(sh_a[3], sh_b[3]):
+        assert n1 == n2 and f1 == f2
+
+    # Both estimators extrapolate to the full-set FAD (measured: ~3-5%
+    # Monte-Carlo fit noise at this tiny d/N; deterministic given the seeds).
+    assert abs(single[0] - true) / true < 0.10, (single[0], true)
+    assert abs(sh_a[0] - true) / true < 0.10, (sh_a[0], true)
+    # A second seed stays in the same band (no systematic sharding bias).
+    sh_c = fad_inf_device(mu_b, cov_b, embeds, steps=15, min_n=400, seed=23, mesh=mesh)
+    assert abs(sh_c[0] - true) / true < 0.10, (sh_c[0], true)
 
 
 def test_per_song_sharded_matches_single_device():
