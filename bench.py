@@ -236,12 +236,13 @@ def _family_cases():
 
         x = jnp.asarray(rng.standard_normal((b, 1, sec * 24000)), jnp.float32) * 0.1
         return fwd, params, (x,), b * sec, (
-            "24k whole-file path at a fixed 10 s shape. Low-MFU diagnosis "
-            "(measured, round-2 ablation): replacing the 2-layer LSTM with "
-            "identity changes 60.8 -> 56.9 ms, so the serial LSTM is only "
-            "~6% - the cost is the narrow (32-512ch) reflect-pad conv stack, "
-            "width/bandwidth-bound like DAC; throughput not MXU fill is the "
-            "relevant number"
+            "24k whole-file path at a fixed 10 s shape. Measured bound "
+            "(round 4, PERF.md 3.4): f32 runs 1.64x its ideal-fusion HBM "
+            "byte floor at the measured 618 GB/s stream bandwidth "
+            "(HBM-closed); bf16 2.63x - lane fill (25-50% of the MXU's 128 "
+            "lanes at the dominant 32-64ch stages) + elu ~7 ms + lstm "
+            "~3.7 ms, NOT traffic. scripts/encodec_{byte_floor,ablation}"
+            "_probe.py"
         )
 
     def clap(dtype):
@@ -472,8 +473,9 @@ def _family_cases():
             "scripts/conv_family_ablation_probe.py): bf16 computes the "
             "moments one-pass with f32 accumulation (21.7 -> 17.2 ms); f32 "
             "keeps two-pass mean/var (one-pass cancels at 1.4e-2 on the "
-            "parity path). Residual is the same narrow-channel conv width "
-            "bound as the 24k model"
+            "parity path). Residual bound (round 4, PERF.md 3.4): f32 1.68x "
+            "/ bf16 1.91x of the ideal-fusion byte floor at measured "
+            "bandwidth - fill + norm passes, not halo traffic"
         )
 
     def clap_ms(dtype):

@@ -26,7 +26,7 @@ path where n >> d guarantees full rank.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -139,10 +139,14 @@ def _fad_inf_steps_dp(mu1, cov1, embeds_local, valid_local, quotas, ns, keys):
     return fads
 
 
+@lru_cache(maxsize=8)
 def _fad_inf_sharded(mesh):
     """FRAMES sharded over the mesh's dp axis; the sweep runs collectively
     (per-step psum-merged Welford). Per-chip HBM = N/dp rows + one sample
-    buffer, vs the full (N, D) replica of the round-3 design."""
+    buffer, vs the full (N, D) replica of the round-3 design.
+
+    Cached per mesh (Mesh is hashable): the returned jit wrapper keys XLA's
+    executable cache, so repeated sweeps don't recompile."""
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
