@@ -78,7 +78,17 @@ class DpChunkSpec:
 
 def make_dp_chunk_stats_step(mesh, spec: DpChunkSpec):
     """Jitted (params, weights, *chunks) -> (mu, M2, n) with chunks sharded
-    over dp and outputs replicated."""
+    over dp and outputs replicated.
+
+    Memoized on the spec object per mesh: a fresh jit per dataset pass would
+    re-trace and re-compile the family forward every call (the executable
+    identity, not just the HLO, keys jax's in-memory cache). Families cache
+    their spec per model instance (runner/device_pipeline._model_dp_specs),
+    so repeated scoring runs in one process reuse one executable.
+    """
+    cache = spec.__dict__.setdefault("_step_cache", {})
+    if mesh in cache:
+        return cache[mesh]
     data = NamedSharding(mesh, P("dp"))
     rep = NamedSharding(mesh, P())
 
@@ -107,6 +117,7 @@ def make_dp_chunk_stats_step(mesh, spec: DpChunkSpec):
         arrs = [jax.device_put(jnp.asarray(c), data) for c in chunks]
         return step(params_rep, w, *arrs)
 
+    cache[mesh] = run
     return run
 
 

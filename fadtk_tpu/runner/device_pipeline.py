@@ -119,6 +119,25 @@ def dataset_stats_device(
     return mu, s / (n - 1), n
 
 
+def _model_dp_specs(model: EmbeddingModel):
+    """(dp_spec, dp_whole_spec) memoized on the model instance.
+
+    Families build a fresh spec (new forward closure + DpChunkSpec) per
+    ``dp_spec()`` call; since the dp step executables are memoized ON the
+    spec (parallel/dp.py), the spec itself must be reused across dataset
+    passes or every pass re-traces and re-compiles the family forward.
+    Safe to latch: ``ensure_loaded`` is idempotent and the bf16 latch
+    (models/base.py) pins a model instance's params/dtype for its lifetime.
+    """
+    cached = getattr(model, "_dp_specs_cache", None)
+    if cached is None:
+        spec = model.dp_spec()
+        whole = model.dp_whole_spec() if spec is None else None
+        cached = (spec, whole)
+        model._dp_specs_cache = cached
+    return cached
+
+
 def _dataset_stats_device_chunked(
     model: EmbeddingModel,
     files: Sequence[Path],
@@ -129,8 +148,7 @@ def _dataset_stats_device_chunked(
     """Generic dp-sharded chunk pipeline for the non-speech families."""
     from ..parallel.dp import dp_chunk_dataset_stats, dp_whole_clip_dataset_stats
 
-    spec = model.dp_spec()
-    whole = model.dp_whole_spec() if spec is None else None
+    spec, whole = _model_dp_specs(model)
     if spec is None and whole is None:
         raise NotImplementedError(
             f"{model.name} has neither a static-window nor a whole-clip dp "

@@ -74,3 +74,49 @@ def test_sharded_eval_step_matches_single_device(attention_type, tp, stable):
     assert int(n) == sum(f.shape[0] for f in frame_list)
     np.testing.assert_allclose(np.asarray(mu), mu_ref, atol=2e-5)
     np.testing.assert_allclose(np.asarray(cov), cov_ref, atol=2e-4)
+
+
+def test_step_builders_memoized():
+    """The step builders must return the SAME executable across calls — a
+    fresh jax.jit per dataset pass misses jax's in-memory executable cache
+    and re-compiles the whole forward every scoring run (the 3x e2e pipeline
+    regression the round-3 import-time persistent compile cache masked)."""
+    cfg = SpeechEncoderConfig(
+        **CFG_KW,
+        attention_type="standard",
+        feat_extract_norm="group",
+    )
+    params = init_speech_encoder_params(cfg, jax.random.PRNGKey(0))
+    mesh = make_mesh(8, tp=1)
+    s1 = make_sharded_eval_step(cfg, params, mesh, 1)
+    s2 = make_sharded_eval_step(cfg, params, mesh, 1)
+    assert s1 is s2
+    # Different tap layer or mesh = different executable.
+    assert make_sharded_eval_step(cfg, params, mesh, 2) is not s1
+
+    from fadtk_tpu.parallel.dp import DpChunkSpec, make_dp_chunk_stats_step
+
+    spec = DpChunkSpec(
+        forward=lambda p, x: x @ p,
+        make_chunks=lambda c: (c.reshape(-1, 4),),
+        params=jnp.eye(4, dtype=jnp.float32),
+        num_features=4,
+    )
+    r1 = make_dp_chunk_stats_step(mesh, spec)
+    assert make_dp_chunk_stats_step(mesh, spec) is r1
+
+
+def test_model_dp_specs_latched():
+    """dataset_stats_device reuses one spec (hence one executable chain) per
+    model instance across dataset passes."""
+    import os
+
+    os.environ["FADTK_TPU_RANDOM_WEIGHTS"] = "1"
+    from fadtk_tpu.models.registry import get_model
+    from fadtk_tpu.runner.device_pipeline import _model_dp_specs
+
+    model = get_model("clap-laion-audio")
+    model.ensure_loaded()
+    first = _model_dp_specs(model)
+    assert _model_dp_specs(model) is first
+    assert first[0] is not None
