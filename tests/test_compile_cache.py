@@ -32,6 +32,9 @@ def test_default_cache_dir_is_fingerprinted(tmp_path, monkeypatch):
     monkeypatch.setenv("FADTK_TPU_CHECKPOINTS", str(tmp_path))
     monkeypatch.delenv("FADTK_TPU_COMPILE_CACHE", raising=False)
     monkeypatch.setattr(utils, "_compile_cache_configured", False)
+    # Accelerator backends get the fingerprinted default dir (this test suite
+    # runs CPU-forced, where the default is to skip — see the cpu test below).
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     old = jax.config.jax_compilation_cache_dir
     try:
         utils.configure_compile_cache()
@@ -40,6 +43,23 @@ def test_default_cache_dir_is_fingerprinted(tmp_path, monkeypatch):
         assert got.is_dir()
     finally:
         jax.config.update("jax_compilation_cache_dir", old)
+
+
+def test_default_skipped_on_cpu_backend(tmp_path, monkeypatch):
+    """XLA:CPU persistent-cache entries are AOT machine code — not portable
+    across hosts (SIGILL hazard), and their loader warns about XLA
+    pseudo-features (+prefer-no-gather) even on the machine that compiled
+    them. The default therefore skips the cache on the cpu backend; an
+    explicit FADTK_TPU_COMPILE_CACHE dir still opts in."""
+    monkeypatch.setenv("FADTK_TPU_CHECKPOINTS", str(tmp_path))
+    monkeypatch.delenv("FADTK_TPU_COMPILE_CACHE", raising=False)
+    monkeypatch.setattr(utils, "_compile_cache_configured", False)
+    assert jax.default_backend() == "cpu"  # conftest forces it
+    old = jax.config.jax_compilation_cache_dir
+    utils.configure_compile_cache()
+    assert jax.config.jax_compilation_cache_dir == old
+    assert utils._compile_cache_configured is False
+    assert not (tmp_path / "xla_cache").exists()
 
 
 def test_explicit_dir_used_verbatim_and_idempotent(tmp_path, monkeypatch):
