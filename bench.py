@@ -881,6 +881,21 @@ def bench_e2e(n_files: int = 128, seconds: int = 10, src_sr: int = 44100) -> dic
         decode_wall = time.perf_counter() - t0
         decode_rate = len(dec_files) * seconds / decode_wall
 
+        # Convert floor: decode + downmix + Kaiser resample + int16 quantize
+        # on the host — the mandatory per-file work of the HOST transport.
+        # The decode-only floor above omits the resample the pipeline cannot
+        # skip, so *_vs_decode_floor understates utilization on a 1-core
+        # host; *_vs_convert_floor is the honest bound (its residual is
+        # device dispatch serialization + link bytes only).
+        from fadtk_tpu.dsp.resample import resample_kaiser
+
+        t0 = time.perf_counter()
+        for f in dec_files:
+            x, f_sr = decode_audio(f)
+            float_to_int16(resample_kaiser(np.mean(x, axis=0), int(f_sr), model.sr))
+        convert_wall = time.perf_counter() - t0
+        convert_rate = len(dec_files) * seconds / convert_wall
+
         # Device-pipeline scoring on a NEVER-cached copy: decode on host,
         # Kaiser resample + PCM quantization + embedding + Gaussian
         # accumulation all on device (runner/convert.py + device_pipeline).
@@ -926,6 +941,7 @@ def bench_e2e(n_files: int = 128, seconds: int = 10, src_sr: int = 44100) -> dic
             "e2e_files_per_sec": round(n_files / wall, 2),
             "e2e_audio_sec_per_sec": round(n_files * seconds / wall, 1),
             "decode_only_audio_sec_per_sec": round(decode_rate, 1),
+            "convert_floor_audio_sec_per_sec": round(convert_rate, 1),
             "device_pipeline_wall_s": round(dp_wall, 2),
             "device_pipeline_audio_sec_per_sec": round(n_files * seconds / dp_wall, 1),
             "device_pipeline_vs_decode_floor": round(
@@ -938,6 +954,9 @@ def bench_e2e(n_files: int = 128, seconds: int = 10, src_sr: int = 44100) -> dic
             "host_transport_vs_decode_floor": round(
                 (n_files * seconds / hp_wall) / decode_rate, 3
             ),
+            "host_transport_vs_convert_floor": round(
+                (n_files * seconds / hp_wall) / convert_rate, 3
+            ),
             "host_cpu_cores": os.cpu_count(),
             "note": (
                 "e2e_* = the caching path (host hybrid BLAS/FFT Kaiser "
@@ -949,8 +968,10 @@ def bench_e2e(n_files: int = 128, seconds: int = 10, src_sr: int = 44100) -> dic
                 "the link. host_transport_* = the same pipeline with the "
                 "default host transport: resample on the decode threads "
                 "(bit-parity with the cached path), ~0.32 MB/clip over the "
-                "link. The residual vs the pure decode floor is decode+IO "
-                "serialization and link bytes that a PCIe-attached TPU host "
+                "link. convert_floor_* = decode+resample+quantize only — the "
+                "mandatory host work of the host transport; the residual of "
+                "host_transport vs THAT floor is device dispatch "
+                "serialization + link bytes, which a PCIe-attached TPU host "
                 "would not pay. The device forward alone benches at 4200+ "
                 "audio-s/s"
             ),

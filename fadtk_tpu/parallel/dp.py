@@ -109,12 +109,26 @@ def make_dp_chunk_stats_step(mesh, spec: DpChunkSpec):
         return mu, m2, n
 
     params_rep = jax.device_put(spec.params, rep)
+    # int16 fast transport latch, shared across meshes (per family/spec):
+    # chunked-family audio is usually 16-bit-PCM exact (CLAP even quantizes
+    # through int16 by reference semantics) and ships at half the bytes;
+    # normalized windows / mel examples (DAC, vggish) fail the exactness
+    # check once and latch the probe off (parallel/transfer.py).
+    latch = spec.__dict__.setdefault("_int16_latch", [True])
 
     def run(weights: np.ndarray, *chunks: np.ndarray):
         """Returns the (mu, M2, n) partial as DEVICE arrays — callers chain
         them with merge_partial_stats_device so dispatches stay async."""
+        from .transfer import ship_dp_sharded
+
         w = jax.device_put(jnp.asarray(weights), data)
-        arrs = [jax.device_put(jnp.asarray(c), data) for c in chunks]
+        arrs = []
+        for c in chunks:
+            c = np.asarray(c)
+            arr, ok = ship_dp_sharded(mesh, c, latch[0])
+            if not ok and latch[0] and c.dtype == np.float32:
+                latch[0] = False
+            arrs.append(arr)
         return step(params_rep, w, *arrs)
 
     cache[mesh] = run

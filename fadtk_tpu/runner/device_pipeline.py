@@ -37,6 +37,7 @@ from ..metric.stats import merge_partial_stats_device
 from ..models.base import EmbeddingModel
 from ..models.speech.family import BUCKET_SECONDS, SpeechEmbeddingModel
 from ..parallel.tp import make_sharded_eval_step
+from ..parallel.transfer import ship_dp_sharded
 from ..utils import PathLike, dataset_files, next_multiple
 from .convert import ClipLoader
 from .fad import FrechetAudioDistance
@@ -90,6 +91,11 @@ def dataset_stats_device(
     # compute. One fetch at the end syncs the chain.
     state = None
     clips_iter = loader.iter_clips(files)
+    # Audio from the loader is 16-bit-PCM provenance (cache-hit wavs and the
+    # in-memory converts alike), so batches ship as int16 — half the link
+    # bytes — and rescale on device (parallel/transfer.py; latch cleared on
+    # the first batch that is not exactly int16).
+    try_int16 = True
     while True:
         clips = [
             c if c.shape[0] <= model.limit else c[: model.limit]
@@ -103,7 +109,8 @@ def dataset_stats_device(
         for j, c in enumerate(clips):
             audio[j, : c.shape[0]] = c
             num_valid[j] = c.shape[0]
-        mu_b, cov_b, n_b = step(model.params, audio, num_valid)
+        audio_dev, try_int16 = ship_dp_sharded(mesh, audio, try_int16)
+        mu_b, cov_b, n_b = step(model.params, audio_dev, num_valid)
         # Empty/padded batches fold in exactly: n_b=0 contributes nothing
         # (welford_finalize's guarded denom keeps cov_b finite).
         state = merge_partial_stats_device(state, mu_b, cov_b, n_b, b_is_cov=True)
