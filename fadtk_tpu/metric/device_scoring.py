@@ -68,10 +68,13 @@ def _fad_trace_step(mu1, s1, tr1, n_i, d, mu2, cov2):
 
 
 def _fad_inf_steps(mu1, cov1, embeds, ns, keys):
-    """embeds: (N, D) f32; ns/keys: (steps,). Returns (steps,) FAD scores.
+    """embeds: (N, D) f32 or f16; ns/keys: (steps,). Returns (steps,) FADs.
 
     Single-device sweep: one lax.scan over the ns grid, each step a
-    with-replacement subsample + masked Welford + trace."""
+    with-replacement subsample + masked Welford + trace. f16 frames (the
+    on-disk cache dtype) stay f16 in HBM and upcast AFTER the gather —
+    f16->f32 is exact, so scores are bit-identical to upcasting on host,
+    at half the transfer bytes and half the resident matrix."""
     n_total, d = embeds.shape
     max_n = n_total
     s1 = _sqrt_psd_eigh(cov1)
@@ -80,7 +83,7 @@ def _fad_inf_steps(mu1, cov1, embeds, ns, keys):
     def step(carry, inputs):
         n_i, k = inputs
         idx = jax.random.randint(k, (max_n,), 0, n_total)
-        sample = jnp.take(embeds, idx, axis=0)
+        sample = jnp.take(embeds, idx, axis=0).astype(jnp.float32)
         mask = (jnp.arange(max_n) < n_i).astype(jnp.float32)
         st = welford_update(welford_init(d), sample, mask)
         mu2, cov2 = welford_finalize(st)
@@ -128,7 +131,7 @@ def _fad_inf_steps_dp(mu1, cov1, embeds_local, valid_local, quotas, ns, keys):
         idx = jax.random.randint(
             jax.random.fold_in(k, shard), (cap,), 0, jnp.maximum(v, 1)
         )
-        sample = jnp.take(embeds_local, idx, axis=0)
+        sample = jnp.take(embeds_local, idx, axis=0).astype(jnp.float32)
         mask = (jnp.arange(cap) < n_local).astype(jnp.float32)
         st = welford_update(welford_init(d), sample, mask)
         st = welford_merge_across(st, "dp")
@@ -195,7 +198,13 @@ def fad_inf_device(
 
     mu1 = jnp.asarray(mu_base, jnp.float32)
     cov1 = jnp.asarray(cov_base, jnp.float32)
-    embeds = np.asarray(embeds, np.float32)
+    # f16 frames (the on-disk embedding-cache dtype, reference
+    # fadtk/model_loader.py:47-48) ship AND shard as f16: half the link
+    # bytes and half the per-chip HBM vs an f32 matrix, bit-identical
+    # scores (the sweep steps upcast after the gather; f16->f32 is exact).
+    embeds = np.asarray(embeds)
+    if embeds.dtype != np.float16:
+        embeds = np.asarray(embeds, np.float32)
     if mesh is not None and mesh.shape["dp"] > 1:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -203,7 +212,7 @@ def fad_inf_device(
         nl = -(-max_n // dp)  # rows per chip (last shard zero-padded)
         valid = np.clip(max_n - nl * np.arange(dp), 0, nl).astype(np.int32)
         quotas = _dp_quota_split(ns, valid)  # (steps, dp)
-        padded = np.zeros((nl * dp, embeds.shape[1]), np.float32)
+        padded = np.zeros((nl * dp, embeds.shape[1]), embeds.dtype)
         padded[:max_n] = embeds
         sharded_rows = jax.device_put(padded, NamedSharding(mesh, P("dp")))
         fads = np.asarray(

@@ -246,3 +246,29 @@ def test_per_song_sharded_matches_single_device():
         mu_b, cov_b, batch_size=2, mesh=make_mesh(8)
     ).score_batch(songs)
     np.testing.assert_allclose(single, sharded, rtol=1e-4, atol=1e-4)
+
+
+def test_fad_inf_f16_frames_bit_identical():
+    """f16 frames (the on-disk embedding-cache dtype) ship/shard as f16 and
+    upcast AFTER the device gather — f16->f32 is exact, so the sweep must be
+    BIT-identical to feeding the pre-upcast f32 matrix, single-device and
+    dp-sharded alike (half the link bytes and half the per-chip HBM)."""
+    from fadtk_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(5)
+    d = 16
+    base = rng.standard_normal((1200, d)).astype(np.float32)
+    mu_b, cov_b = calc_embd_statistics(base)
+    embeds16 = (rng.standard_normal((900, d)) * 1.05 + 0.1).astype(np.float16)
+    embeds32 = embeds16.astype(np.float32)
+
+    a = fad_inf_device(mu_b, cov_b, embeds16, steps=6, min_n=200, seed=11)
+    b = fad_inf_device(mu_b, cov_b, embeds32, steps=6, min_n=200, seed=11)
+    assert a[0] == b[0]
+    assert a[3] == b[3]
+
+    mesh = make_mesh(8)
+    sa = fad_inf_device(mu_b, cov_b, embeds16, steps=6, min_n=200, seed=11, mesh=mesh)
+    sb = fad_inf_device(mu_b, cov_b, embeds32, steps=6, min_n=200, seed=11, mesh=mesh)
+    assert sa[0] == sb[0]
+    assert sa[3] == sb[3]
