@@ -79,6 +79,20 @@ def dataset_stats_device(
     assert batch % dp == 0, f"batch {batch} must divide dp={dp}"
 
     step = make_sharded_eval_step(model.cfg, model.params, mesh, model.layer)
+    # Commit the params to the mesh ONCE (their tp/replicated shardings are
+    # the step's in_specs): uncommitted params would be re-sharded onto the
+    # mesh every batch — free on the 1-chip bench, a full-model re-transfer
+    # per batch on a real (dp, tp) mesh.
+    import jax
+    from jax.sharding import NamedSharding
+
+    from ..parallel.tp import speech_param_specs
+
+    params_dev = jax.tree.map(
+        lambda p, s: jax.device_put(p, NamedSharding(mesh, s)),
+        model.params,
+        speech_param_specs(model.cfg, model.params),
+    )
 
     # Host decode on threads; resample/quantize for cache misses runs on
     # device in batches (runner/convert.py), so the host convert tax is
@@ -110,7 +124,7 @@ def dataset_stats_device(
             audio[j, : c.shape[0]] = c
             num_valid[j] = c.shape[0]
         audio_dev, try_int16 = ship_dp_sharded(mesh, audio, try_int16)
-        mu_b, cov_b, n_b = step(model.params, audio_dev, num_valid)
+        mu_b, cov_b, n_b = step(params_dev, audio_dev, num_valid)
         # Empty/padded batches fold in exactly: n_b=0 contributes nothing
         # (welford_finalize's guarded denom keeps cov_b finite).
         state = merge_partial_stats_device(state, mu_b, cov_b, n_b, b_is_cov=True)
