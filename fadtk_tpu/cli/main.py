@@ -23,7 +23,6 @@ from ..utils import configure_compile_cache, log
 
 
 def main() -> None:
-    configure_compile_cache()  # entry point, not import time (r3 verdict #5)
     models = {m.name: m for m in get_all_models()}
 
     ap = ArgumentParser(prog="fadtk")
@@ -89,6 +88,15 @@ def main() -> None:
                          "a host so its collectives ride ICI)")
     args = ap.parse_args()
 
+    if args.multihost:
+        # Must run before ANYTHING that can initialize the XLA backend —
+        # configure_compile_cache() below queries jax.default_backend()
+        # (jax.distributed.initialize() raises after backend init).
+        from ..parallel import multihost
+
+        multihost.initialize()
+    configure_compile_cache()  # entry point, not import time (r3 verdict #5)
+
     if args.bf16:
         os.environ["FADTK_TPU_BF16"] = "1"
 
@@ -104,7 +112,8 @@ def main() -> None:
         if args.multihost:
             from ..parallel import multihost
 
-            multihost.initialize()
+            # initialize() already ran right after arg parsing (it must
+            # precede the backend-initializing compile-cache probe).
             mesh = multihost.global_mesh(tp=args.tp)
         else:
             from ..parallel.mesh import make_mesh
