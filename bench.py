@@ -766,6 +766,16 @@ def bench_sqrtm_fad_inf() -> dict:
 
     Written to .bench_cache/extra_metrics.json; the driver-facing stdout stays
     a single JSON line.
+
+    The NS-sqrtm loop uses the §5 chained protocol (data dependency through
+    every iteration, ONE value fetch, measured RTT subtracted): the original
+    per-iteration float() fetch paid a full tunnel round-trip per call, and a
+    congestion window turned the measured 68 ms into 5353 ms (2026-08-19) —
+    per-dispatch-fetch loops measure the tunnel's bad days, not the chip.
+    The FAD-inf number intentionally keeps end-to-end semantics (it INCLUDES
+    shipping the 100k x 768 f16 frame matrix, ~150 MB, which dominates on the
+    tunneled link but not on a PCIe host) and reports the RTT next to it so
+    the link share is visible.
     """
     import jax
     import jax.numpy as jnp
@@ -781,18 +791,30 @@ def bench_sqrtm_fad_inf() -> dict:
     cov2 = (b @ b.T / (2 * d)).astype(np.float64)
     mu1, mu2 = rng.standard_normal(d), rng.standard_normal(d)
 
-    # Device Newton-Schulz sqrtm trace (f32); fresh inputs per iteration so no
-    # layer of the stack can reuse a previous result.
+    # Device Newton-Schulz sqrtm trace (f32), chained-window protocol: each
+    # iteration's input depends on the previous trace (serializes the chain,
+    # defeats result reuse), one fetch syncs the window, RTT subtracted.
     c1 = jnp.asarray(cov1, jnp.float32)
     c2 = jnp.asarray(cov2, jnp.float32)
-    jax.block_until_ready(trace_sqrtm_product_ns(c1, c2))
+
+    @jax.jit
+    def ns_step(c1, c2, acc):
+        return acc + trace_sqrtm_product_ns(c1 * (1.0 + acc * 1e-30), c2)
+
+    zero = jnp.float32(0.0)
+    assert np.isfinite(float(ns_step(c1, c2, zero)))  # compile + warm
+    trivial = jax.jit(lambda s: s + 1.0)
+    float(trivial(zero))
+    rtt = min(_timed(lambda: float(trivial(zero))) for _ in range(5))
     iters = 10
-    t0 = time.perf_counter()
-    acc = 0.0
-    for i in range(iters):
-        acc += float(trace_sqrtm_product_ns(c1 * (1.0 + 1e-6 * i), c2))
-    ns_ms = (time.perf_counter() - t0) / iters * 1000
-    assert np.isfinite(acc)
+    ns_ms = float("inf")
+    for _ in range(3):
+        acc = zero
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            acc = ns_step(c1, c2, acc)
+        assert np.isfinite(float(acc))  # one fetch syncs the whole chain
+        ns_ms = min(ns_ms, max(time.perf_counter() - t0 - rtt, 1e-6) / iters * 1000)
 
     # Host f64 eigh sqrtm (parity path).
     t0 = time.perf_counter()
@@ -813,7 +835,10 @@ def bench_sqrtm_fad_inf() -> dict:
     extra = {
         "sqrtm_ns_device_ms_d1024": round(ns_ms, 2),
         "sqrtm_eigh_host_ms_d1024": round(eigh_ms, 2),
+        # End-to-end semantics: includes shipping the ~150 MB f16 frame
+        # matrix over the link (dominant on the tunnel, negligible on PCIe).
         "fad_inf_device_25steps_100k_frames_s": round(fad_inf_s, 2),
+        "tunnel_rtt_ms_at_measure": round(rtt * 1e3, 1),
     }
     out = CACHE.parent / "extra_metrics.json"
     out.parent.mkdir(exist_ok=True)
