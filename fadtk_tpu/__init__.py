@@ -34,7 +34,8 @@ from .models.vggish import VGGishModel
 from .models.wav2vec2 import W2V2Model
 from .models.wavlm import WavLMModel
 from .models.whisper import WhisperModel
-from .utils import get_cache_embedding_path, find_sox_formats
+from .utils import PathLike, get_cache_embedding_path, find_sox_formats, log
+from .fad import TORCHAUDIO_RESAMPLING, ffmpeg_path, sox_path, torchaudio_backend
 
 # Reference-name compatibility (reference fadtk/__init__.py star-exports its
 # whole surface): the reference's ABC is `ModelLoader` (model_loader.py:21)
@@ -71,5 +72,11 @@ __all__ = [
     "WhisperModel",
     "get_cache_embedding_path",
     "find_sox_formats",
+    "PathLike",
+    "log",
+    "TORCHAUDIO_RESAMPLING",
+    "sox_path",
+    "ffmpeg_path",
+    "torchaudio_backend",
     "__version__",
 ]

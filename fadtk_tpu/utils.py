@@ -159,3 +159,15 @@ def find_sox_formats(sox_path: str = "sox") -> list[str]:
     the reference's own failure behavior: an empty list.
     """
     return []
+
+
+def __getattr__(name: str):
+    """Reference-path parity: ``fadtk.utils`` also exports
+    ``calculate_embd_statistics_online`` (reference fadtk/utils.py:13-46).
+    The implementation lives in metric/stats.py, which imports this module —
+    a lazy PEP 562 re-export avoids the cycle."""
+    if name == "calculate_embd_statistics_online":
+        from .metric.stats import calculate_embd_statistics_online
+
+        return calculate_embd_statistics_online
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
