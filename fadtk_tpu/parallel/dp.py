@@ -164,6 +164,9 @@ def dp_whole_clip_dataset_stats(
     clips_iter,
     mesh,
     batch: int | None = None,
+    ckpt=None,
+    files_done: int = 0,
+    initial_state=None,
 ) -> tuple[np.ndarray, np.ndarray, int]:
     """(mu, cov, n_frames) over host clips for a whole-clip (no-static-window)
     family, sharded over the ``dp`` mesh axis.
@@ -176,6 +179,11 @@ def dp_whole_clip_dataset_stats(
     (4x batch), the largest group flushes early (partial dispatches are exact,
     only slightly less efficient). Many distinct shapes also log a hint, since
     each distinct length compiles its own executable.
+
+    ``ckpt``/``files_done``/``initial_state``: crash-resume plumbing
+    (runner/resume.py) — at the checkpoint cadence every buffered group is
+    dispatched (exact: row padding carries weight 0) so the saved state covers
+    the consumed clips exactly.
     """
     from collections import defaultdict
 
@@ -188,7 +196,7 @@ def dp_whole_clip_dataset_stats(
     step = make_dp_chunk_stats_step(mesh, spec)
 
     d = spec.num_features
-    state = None  # device-resident (mu, M2, n) chain — dispatches stay async
+    state = initial_state  # device-resident (mu, M2, n) chain — dispatches stay async
 
     groups: dict[tuple, list[np.ndarray]] = defaultdict(list)
     n_buffered = 0
@@ -227,6 +235,15 @@ def dp_whole_clip_dataset_stats(
             flushed = groups.pop(shape)
             dispatch(flushed)
             n_buffered -= len(flushed)
+        files_done += 1
+        if ckpt is not None and ckpt.due(files_done):
+            for shape in list(groups):
+                rows = groups.pop(shape)
+                if rows:
+                    dispatch(rows)
+            n_buffered = 0
+            if state is not None:
+                ckpt.save(tuple(np.asarray(x) for x in state), files_done)
     for bucket in groups.values():
         if bucket:
             dispatch(bucket)
@@ -239,6 +256,9 @@ def dp_chunk_dataset_stats(
     clips_iter,
     mesh,
     batch: int | None = None,
+    ckpt=None,
+    files_done: int = 0,
+    initial_state=None,
 ) -> tuple[np.ndarray, np.ndarray, int]:
     """(mu, cov, n_frames) over an iterator of host clips.
 
@@ -247,6 +267,11 @@ def dp_chunk_dataset_stats(
     weight-0 rows. Batch partials merge with the exact Chan update on host.
     ``batch=None`` uses the family's MXU-filling default, scaled up to the
     mesh (``preferred_batch`` per device).
+
+    ``ckpt``/``files_done``/``initial_state``: crash-resume plumbing
+    (runner/resume.py) — at the checkpoint cadence pending chunks force-flush
+    (exact: padded rows carry weight 0) so the saved state covers the consumed
+    clips exactly.
     """
     dp = mesh.shape["dp"]
     if batch is None:
@@ -256,7 +281,7 @@ def dp_chunk_dataset_stats(
     rep = NamedSharding(mesh, P())
 
     d = spec.num_features
-    state = None  # device-resident (mu, M2, n) chain — dispatches stay async
+    state = initial_state  # device-resident (mu, M2, n) chain — dispatches stay async
 
     pending: list[tuple] = []  # per-chunk tuples of arrays
     n_pending = 0
@@ -310,6 +335,11 @@ def dp_chunk_dataset_stats(
                     jax.device_put(jnp.asarray(np.float32(f.shape[0])), rep),
                 )
         flush(force=False)
+        files_done += 1
+        if ckpt is not None and ckpt.due(files_done):
+            flush(force=True)
+            if state is not None:
+                ckpt.save(tuple(np.asarray(x) for x in state), files_done)
     flush(force=True)
 
     return _finalize_device_state(state, d)

@@ -41,6 +41,18 @@ from ..parallel.transfer import ship_dp_sharded
 from ..utils import PathLike, dataset_files, next_multiple
 from .convert import ClipLoader
 from .fad import FrechetAudioDistance
+from .resume import open_checkpoint, pipeline_ckpt_path
+
+
+def _place_state(mesh, host_state):
+    """Put a host (mu, M2, n) resume triple on the mesh, replicated — the
+    same placement the step outputs use, so the merge chain stays uniform."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = NamedSharding(mesh, P())
+    return tuple(jax.device_put(jnp.asarray(x), rep) for x in host_state)
 
 
 def dataset_stats_device(
@@ -49,6 +61,7 @@ def dataset_stats_device(
     mesh=None,
     batch: int | None = None,
     workers: int = 8,
+    checkpoint: PathLike | None = None,
 ) -> tuple[np.ndarray, np.ndarray, int]:
     """(mu, cov, n_frames) of a dataset, computed on device.
 
@@ -59,10 +72,19 @@ def dataset_stats_device(
     every other family goes through its ``dp_spec`` (fixed-window chunks) or
     ``dp_whole_spec`` (whole clips at exact length, encodec-emb 24k) and the
     generic sharded pipelines in parallel/dp.py.
+
+    ``checkpoint``: path for crash-resume snapshots of the running (mu, M2, n)
+    + file cursor (runner/resume.py). When ``files`` is a dataset directory,
+    it defaults to ``{dir}/stats/{model}/pipeline_ckpt.npz``; pass a path to
+    override, or leave None (explicit file list) / set FADTK_TPU_CKPT=0 to
+    disable. Speech-path resume with the same ``batch`` is bit-identical to
+    an uninterrupted run; the chunked paths resume f32-accumulation-identical.
     """
     from ..parallel.mesh import make_mesh
 
     if isinstance(files, (str, Path)):
+        if checkpoint is None and Path(files).is_dir():
+            checkpoint = pipeline_ckpt_path(files, model)
         files = dataset_files(files)
     model.ensure_loaded()
     if mesh is None:
@@ -70,7 +92,7 @@ def dataset_stats_device(
 
     if not isinstance(model, SpeechEmbeddingModel):
         return _dataset_stats_device_chunked(
-            model, files, mesh, batch=batch, workers=workers
+            model, files, mesh, batch=batch, workers=workers, checkpoint=checkpoint
         )
 
     dp = mesh.shape["dp"]
@@ -99,12 +121,18 @@ def dataset_stats_device(
     # decode + IO only.
     loader = ClipLoader(model, workers=workers)
 
+    # Crash-resume (runner/resume.py): snapshots happen only at batch
+    # boundaries, which here ARE file boundaries (one clip = one row), so a
+    # resumed run with the same ``batch`` re-batches identically and the final
+    # stats are bit-identical to an uninterrupted run.
+    ckpt, host_state, files_done = open_checkpoint(checkpoint, model, files)
+
     # The running (mu, M2, n) stays ON DEVICE (merge_partial_stats_device):
     # the loop never fetches per-batch partials, so every step/merge dispatch
     # queues asynchronously and the next window's host decode overlaps device
     # compute. One fetch at the end syncs the chain.
-    state = None
-    clips_iter = loader.iter_clips(files)
+    state = None if host_state is None else _place_state(mesh, host_state)
+    clips_iter = loader.iter_clips(files[files_done:])
     # Audio from the loader is 16-bit-PCM provenance (cache-hit wavs and the
     # in-memory converts alike), so batches ship as int16 — half the link
     # bytes — and rescale on device (parallel/transfer.py; latch cleared on
@@ -128,7 +156,14 @@ def dataset_stats_device(
         # Empty/padded batches fold in exactly: n_b=0 contributes nothing
         # (welford_finalize's guarded denom keeps cov_b finite).
         state = merge_partial_stats_device(state, mu_b, cov_b, n_b, b_is_cov=True)
+        files_done += len(clips)
+        if ckpt is not None and ckpt.due(files_done):
+            # One host fetch syncs the chain up to here; the queue refills on
+            # the next batch. State covers files[:files_done] exactly.
+            ckpt.save(tuple(np.asarray(x) for x in state), files_done)
 
+    if ckpt is not None:
+        ckpt.finalize()
     if state is None:
         d = model.num_features
         return np.zeros(d), np.zeros((d, d)), 0
@@ -165,6 +200,7 @@ def _dataset_stats_device_chunked(
     mesh,
     batch: int | None = None,
     workers: int = 8,
+    checkpoint: PathLike | None = None,
 ) -> tuple[np.ndarray, np.ndarray, int]:
     """Generic dp-sharded chunk pipeline for the non-speech families."""
     from ..parallel.dp import dp_chunk_dataset_stats, dp_whole_clip_dataset_stats
@@ -176,13 +212,29 @@ def _dataset_stats_device_chunked(
             "path; use the host cached-embedding path."
         )
 
+    # Crash-resume: saves happen after a force-flush of pending chunks, so
+    # the snapshot covers files[:cursor] exactly; resumed stats equal an
+    # uninterrupted run to f32 accumulation (batch packing differs).
+    ckpt, host_state, files_done = open_checkpoint(checkpoint, model, files)
+    initial = None if host_state is None else _place_state(mesh, host_state)
+
     # ClipLoader windows internally (O(window) host RAM): decode threads
     # overlap device compute, and convert-cache misses resample on device.
-    clips = ClipLoader(model, workers=workers).iter_clips(files)
+    clips = ClipLoader(model, workers=workers).iter_clips(files[files_done:])
 
     if spec is not None:
-        return dp_chunk_dataset_stats(spec, clips, mesh, batch=batch)
-    return dp_whole_clip_dataset_stats(whole, clips, mesh, batch=batch)
+        out = dp_chunk_dataset_stats(
+            spec, clips, mesh, batch=batch,
+            ckpt=ckpt, files_done=files_done, initial_state=initial,
+        )
+    else:
+        out = dp_whole_clip_dataset_stats(
+            whole, clips, mesh, batch=batch,
+            ckpt=ckpt, files_done=files_done, initial_state=initial,
+        )
+    if ckpt is not None:
+        ckpt.finalize()
+    return out
 
 
 def score_datasets_device(

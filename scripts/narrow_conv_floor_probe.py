@@ -50,22 +50,25 @@ def cdpam_floor(b: int, itemsize: int) -> dict:
 
     t = cfg.chunk_samples
     c_in = 1
-    writes = reads = 0
+    writes = reads = wts = 0
     rows = []
     for i, c_out in enumerate(cfg.channels):
         t_out = -(-t // cfg.stride)
         r = b * c_in * t * itemsize
         w = b * c_out * t_out * itemsize
         wt = cfg.kernel_size * c_in * c_out * itemsize
-        reads += r + wt
+        reads += r
+        wts += wt
         writes += w
         rows.append((f"conv{i} {c_in}->{c_out} T{t}->{t_out}", r + w + wt))
         c_in, t = c_out, t_out
     # heads: read pooled feats (tiny) + two (C,512) weight reads
-    reads += 2 * (c_in * 512 + 512) * itemsize
+    wts += 2 * (c_in * 512 + 512) * itemsize
+    # Weight bytes cross HBM once under EITHER convention (same accounting
+    # as dac_floor's w_only — round-4 advisor finding #1).
     return {
-        "rw_bytes": reads + writes,
-        "w_bytes": writes + b * cfg.chunk_samples * itemsize,  # + input read
+        "rw_bytes": reads + writes + wts,
+        "w_bytes": writes + wts + b * cfg.chunk_samples * itemsize,  # + input read
         "rows": rows,
     }
 
@@ -127,7 +130,10 @@ def measure_cdpam_ms(b: int, dtype_name: str, depth: int | None = None) -> float
     def truncated(p, x):
         """First `depth` conv+BN+leaky layers (no mask: full-length bench
         clips make the mask a no-op numerically; keeping the real conv+BN
-        chain is what matters for the byte accounting)."""
+        chain is what matters for the byte accounting). depth=None runs the
+        whole model INCLUDING the pooled head einsums, matching what
+        cdpam_floor charges for (round-4 advisor finding #2); truncated
+        depths stay conv-chain-only for the marginal-cost sweep."""
         h = x.astype(dt)[:, :, None]
         for li, (conv, bn) in enumerate(zip(p["convs"], p["norms"])):
             if depth is not None and li >= depth:
@@ -136,7 +142,13 @@ def measure_cdpam_ms(b: int, dtype_name: str, depth: int | None = None) -> float
             inv = jax.lax.rsqrt(bn["var"] + cfg.bn_eps)
             h = (h - bn["mean"]) * (inv * bn["scale"]) + bn["bias"]
             h = jnp.where(h >= 0, h, cfg.leaky_slope * h)
-        return h.astype(jnp.float32).sum()
+        total = h.astype(jnp.float32).sum()
+        if depth is None:
+            feats = h.mean(axis=1)  # (B, C) time-average pool, full-length clips
+            for head in ("acoustic", "content"):
+                proj = feats @ p[head]["kernel"] + p[head]["bias"]
+                total = total + proj.astype(jnp.float32).sum()
+        return total
 
     @jax.jit
     def step(acc, p, x):

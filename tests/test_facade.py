@@ -100,12 +100,28 @@ def test_star_export_parity_with_reference():
     names = set()
     for f in ["fad.py", "fad_batch.py", "model_loader.py", "utils.py"]:
         for node in ast.parse((ref / f).read_text()).body:
-            if isinstance(node, (ast.FunctionDef, ast.ClassDef)):
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
                 if not node.name.startswith("_"):
                     names.add(node.name)
             elif isinstance(node, ast.Assign):
                 for t in node.targets:
                     if isinstance(t, ast.Name) and not t.id.startswith("_"):
                         names.add(t.id)
+            elif isinstance(node, ast.AnnAssign):
+                # `NAME: type = value` module constants count as public too
+                # (round-4 advisor finding #4).
+                if isinstance(node.target, ast.Name) and not node.target.id.startswith("_"):
+                    names.add(node.target.id)
+            elif isinstance(node, ast.ImportFrom):
+                # Intra-package re-exports are deliberate API surface; the
+                # reference's stdlib/third-party imports (`from abc import
+                # ABC`, `import torch`, ...) are namespace pollution we don't
+                # mirror (round-4 advisor finding #4).
+                mod = node.module or ""
+                if node.level > 0 or mod == "fadtk" or mod.startswith("fadtk."):
+                    for alias in node.names:
+                        name = alias.asname or alias.name
+                        if not name.startswith("_") and name != "*":
+                            names.add(name)
     missing = sorted(n for n in names if not hasattr(fadtk_tpu, n))
     assert not missing, missing
