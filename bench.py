@@ -832,12 +832,42 @@ def bench_sqrtm_fad_inf() -> dict:
     fad_inf_device(mu_b, cov_b, frames, steps=25, min_n=500, seed=0)
     fad_inf_s = time.perf_counter() - t0
 
+    # Per-song device scoring wall time (BASELINE.md tracked-metric contract,
+    # round-4 verdict #5) — end-to-end semantics like the FAD-inf row: each
+    # batch ships its f16 frames and fetches its scores (one RTT per batch,
+    # production behavior). Three shapes cover the Gram-side split in
+    # _per_song_batch: speech-typical (L=499 <= D), whisper-style 2-frame
+    # songs (rank-deficient), and frame-dense (L=4992 > D, the (D, D) side).
+    from fadtk_tpu.metric.device_scoring import PerSongScorer
+
+    per_song = {}
+    for tag, d_song, n_songs, frames_per in (
+        ("speech_d768_499f_64songs", 768, 64, 499),
+        ("whisper_d1280_2f_64songs", 1280, 64, 2),
+        ("dense_d768_4992f_16songs", 768, 16, 4992),
+    ):
+        a = rng.standard_normal((d_song, 2 * d_song))
+        cov_base = (a @ a.T / (2 * d_song)).astype(np.float64)
+        mu_base = rng.standard_normal(d_song)
+        songs = [
+            rng.standard_normal((frames_per, d_song)).astype(np.float16)
+            for _ in range(n_songs)
+        ]
+        scorer = PerSongScorer(mu_base, cov_base)
+        s_warm = scorer.score_batch(songs[: scorer.batch_size])  # compile bucket
+        assert np.isfinite(s_warm).all()
+        t0 = time.perf_counter()
+        s_all = scorer.score_batch(songs)
+        per_song[f"per_song_{tag}_s"] = round(time.perf_counter() - t0, 3)
+        assert np.isfinite(s_all).all()
+
     extra = {
         "sqrtm_ns_device_ms_d1024": round(ns_ms, 2),
         "sqrtm_eigh_host_ms_d1024": round(eigh_ms, 2),
         # End-to-end semantics: includes shipping the ~150 MB f16 frame
         # matrix over the link (dominant on the tunnel, negligible on PCIe).
         "fad_inf_device_25steps_100k_frames_s": round(fad_inf_s, 2),
+        **per_song,
         "tunnel_rtt_ms_at_measure": round(rtt * 1e3, 1),
     }
     out = CACHE.parent / "extra_metrics.json"
