@@ -39,17 +39,29 @@ def main() -> None:
         # Warm the executable shape.
         float(reduce_fn(jnp.asarray(host)))
 
-        # put: host array -> device, then a value fetch of a scalar reduction
-        # (forces materialization remotely; the scalar adds ~1 RTT, subtracted).
-        reps = 3
+        # put: CHAINED window of k distinct puts, each consumed by a device
+        # reduction threaded through an accumulator, ONE value fetch at the
+        # end, one RTT subtracted. (Round 4 timed a single 1 MB put minus
+        # 2*RTT and published put_1MB_MBps = 1e9 — the put pipelines under
+        # the dispatch round-trip, so the subtraction went negative and the
+        # clamp fabricated an impossible rate. A multi-put window dwarfs the
+        # RTT instead of racing it.)
+        reduce_acc = jax.jit(lambda acc, x: acc + jnp.sum(x, dtype=jnp.float32))
+        k = max(4, 32 // mb)  # >= ~32 MB per window
+        hosts = [np.full((n,), (i % 7) + 1, np.int16) for i in range(k)]
+        float(reduce_acc(jnp.float32(0.0), jnp.asarray(hosts[0])))  # warm
         best_put = float("inf")
-        for _ in range(reps):
+        for w in range(3):
+            for h in hosts:
+                h[0] = w + 1  # defeat any client-side buffer dedup/caching
+            acc = jnp.float32(0.0)
             t0 = time.perf_counter()
-            d = jnp.asarray(host)
-            float(reduce_fn(d))
+            for h in hosts:
+                acc = reduce_acc(acc, jnp.asarray(h))
+            float(acc)  # one fetch syncs every put + reduction
             best_put = min(best_put, time.perf_counter() - t0)
-        put_s = max(best_put - 2 * rtt, 1e-9)
-        out[f"put_{mb}MB_MBps"] = round(mb / put_s, 1)
+        put_s = max(best_put - rtt, 1e-9)
+        out[f"put_{mb}MB_MBps"] = round(k * mb / put_s, 1)
 
         # fetch: device array -> host values. The array must be device-
         # PRODUCED: the axon client retains host-side copies of committed
