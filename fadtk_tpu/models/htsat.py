@@ -191,6 +191,21 @@ def _merged_attn_mask(
 
 
 def _ln(x, p, eps=1e-5):
+    if x.dtype == jnp.bfloat16:
+        # One-pass f32-accumulated moments, bf16 mode only (PERF.md §3.6):
+        # LN is the Swin tower's largest VPU item (0.57 of 3.72 ms) and the
+        # whole-model A/B measured 1.031x (ATTENTION_LEDGER_r05.json,
+        # scripts/htsat_onepass_ln_probe.py; output deviation 2.5e-4, well
+        # under bf16's own ~8e-3 rounding). f32 keeps two-pass moments: the
+        # E[x^2]-E[x]^2 cancellation is not score-parity grade there (same
+        # policy as the EnCodec group norm, §3.2).
+        x32 = x.astype(jnp.float32)
+        mu = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.maximum(
+            jnp.mean(x32 * x32, axis=-1, keepdims=True) - mu * mu, 0.0
+        )
+        y = (x32 - mu) * jax.lax.rsqrt(var + eps)
+        return (y * p["scale"] + p["bias"]).astype(x.dtype)
     mu = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.var(x, axis=-1, keepdims=True)
     return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]

@@ -198,3 +198,61 @@ def test_swin_merge_zero_means_off(monkeypatch):
     assert _swin_merge_factor() == 4
     monkeypatch.delenv("FADTK_TPU_SWIN_MERGE")
     assert _swin_merge_factor() == 2
+
+
+def test_ln_onepass_bf16_matches_f32_twopass():
+    """bf16 _ln uses one-pass f32-accumulated moments (PERF.md 3.6); it must
+    stay within bf16 rounding of the f32 two-pass reference, and the f32 path
+    itself must keep the exact two-pass formula (score-parity contract)."""
+    from fadtk_tpu.models.htsat import _ln
+
+    rng = np.random.default_rng(7)
+    # offset-heavy input: the worst case for the E[x^2]-E[x]^2 cancellation
+    x = (rng.standard_normal((4, 64, 96)) * 0.3 + 5.0).astype(np.float32)
+    p = {
+        "scale": jnp.asarray(rng.standard_normal(96).astype(np.float32)),
+        "bias": jnp.asarray(rng.standard_normal(96).astype(np.float32)),
+    }
+    ref = np.asarray(_ln(jnp.asarray(x), p))
+
+    pb = {k: v.astype(jnp.bfloat16) for k, v in p.items()}
+    xb = jnp.asarray(x).astype(jnp.bfloat16)
+    got = np.asarray(_ln(xb, pb).astype(jnp.float32))
+
+    # The baseline bf16 error is input rounding through the normalize (the
+    # small per-row sigma amplifies it ~ sigma^-1): measure it with the OLD
+    # bf16 path (two-pass moments straight over bf16) and require the
+    # one-pass f32-accumulated path to be no worse. It is typically BETTER
+    # (f32 accumulation); the probe measured 2.5e-4 whole-model deviation.
+    mu_b = jnp.mean(xb, axis=-1, keepdims=True)
+    var_b = jnp.var(xb, axis=-1, keepdims=True)
+    import jax
+
+    old = np.asarray(
+        ((xb - mu_b) * jax.lax.rsqrt(var_b + 1e-5) * pb["scale"] + pb["bias"]).astype(
+            jnp.float32
+        )
+    )
+    denom = np.maximum(np.abs(ref), 1.0)
+    dev_new = np.max(np.abs(got - ref) / denom)
+    dev_old = np.max(np.abs(old - ref) / denom)
+    assert dev_new <= dev_old * 1.5
+    assert dev_new < 0.25  # absolute sanity bound
+
+    # f32 path unchanged: bitwise-equal to the explicit two-pass formula
+    xj = jnp.asarray(x)
+    mu = jnp.mean(xj, axis=-1, keepdims=True)
+    var = jnp.var(xj, axis=-1, keepdims=True)
+    expect = np.asarray((xj - mu) * jax.lax.rsqrt(var + 1e-5) * p["scale"] + p["bias"])
+    np.testing.assert_array_equal(ref, expect)
+
+
+def test_ln_onepass_constant_rows_no_nan():
+    """Near-constant rows: the one-pass cancellation can dip negative; the
+    clamp must keep rsqrt finite."""
+    from fadtk_tpu.models.htsat import _ln
+
+    x = jnp.full((2, 8, 32), 3.0, dtype=jnp.bfloat16)
+    p = {"scale": jnp.ones(32, jnp.bfloat16), "bias": jnp.zeros(32, jnp.bfloat16)}
+    out = np.asarray(_ln(x, p).astype(jnp.float32))
+    assert np.isfinite(out).all()
