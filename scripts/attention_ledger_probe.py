@@ -307,7 +307,9 @@ def main() -> None:
                 res[k] = round(res[k], 2)
         return res
 
-    path = os.path.join(os.path.dirname(__file__), "..", ".bench_cache")
+    path = os.environ.get("LEDGER_OUT_DIR") or os.path.join(
+        os.path.dirname(__file__), "..", ".bench_cache"
+    )
     os.makedirs(path, exist_ok=True)
     fname = os.path.join(path, f"attention_ledger_{dtype_name}.json")
 
