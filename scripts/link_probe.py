@@ -32,6 +32,7 @@ def main() -> None:
     out = {"rtt_ms": round(rtt * 1e3, 2)}
 
     reduce_fn = jax.jit(lambda x: jnp.sum(x, dtype=jnp.float32))
+    reps = 3  # best-of-N for the fetch side (each rep is one whole transfer)
 
     for mb in (1, 4, 16):
         n = mb * (1 << 20) // 2  # int16 elements
