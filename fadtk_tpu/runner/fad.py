@@ -223,7 +223,11 @@ class FrechetAudioDistance:
         # model key (they are the reference's float32 statistics).
         cache_dir = get_stats_cache_dir(path, self.ml.cache_name)
         emb_dir = path / "embeddings" / self.ml.cache_name
-        if cache_dir.exists():
+        # Keyed on mu.npy, not the directory (reference fad.py:270 checks the
+        # dir, but the reference only ever mkdirs it together with mu/cov;
+        # here the device pipeline's crash-resume checkpoint may have created
+        # the directory without final statistics in it — runner/resume.py).
+        if (cache_dir / "mu.npy").exists():
             log.info(f"Embedding statistics is already cached for {path}, loading...")
             return np.load(cache_dir / "mu.npy"), np.load(cache_dir / "cov.npy")
 

@@ -157,6 +157,13 @@ class StatsCheckpoint:
             self.path.unlink()
         except FileNotFoundError:
             pass
+        # save() mkdir'd the stats dir; if nothing else lives there yet,
+        # remove it so a dataset that only ever saw the device pipeline does
+        # not present an empty stats/<model>/ dir to the cached-path tooling.
+        try:
+            self.path.parent.rmdir()
+        except OSError:
+            pass  # non-empty (real cached stats) or already gone
 
 
 def open_checkpoint(

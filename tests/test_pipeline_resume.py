@@ -254,3 +254,39 @@ print("CHILD_FINISHED")  # the parent should have killed us before this
     assert n == n_ref
     np.testing.assert_array_equal(mu, mu_ref)
     np.testing.assert_array_equal(cov, cov_ref)
+
+
+def test_checkpointed_pass_leaves_no_stats_residue(dataset, w2v2, monkeypatch):
+    """Round-5 full-suite failure: a pipeline pass whose 60 s checkpoint
+    cadence fired on the loaded 1-core host would save() (mkdir the dataset's
+    stats/<model>/ dir), then finalize() removed only the npz — and the
+    cached path's load_stats, which keyed on DIRECTORY existence (the
+    reference's check, fad.py:270, whose invariant 'dir exists => mu/cov
+    exist' the checkpoint silently broke), crashed on the missing mu.npy.
+    Pinned here: (a) a completed checkpointed pass removes the empty dir;
+    (b) load_stats computes-and-caches when the dir exists without mu.npy."""
+    from fadtk_tpu.runner.fad import FrechetAudioDistance
+
+    ckpt_path = pipeline_ckpt_path(dataset, w2v2)
+    monkeypatch.setenv("FADTK_TPU_CKPT_FILES", "1")  # save on every file
+    monkeypatch.setenv("FADTK_TPU_CKPT_SECONDS", "0")
+    mesh = make_mesh(4)
+    dataset_stats_device(w2v2, dataset, mesh=mesh, batch=4)
+    assert not ckpt_path.exists()
+    assert not ckpt_path.parent.exists(), "finalize must remove the empty dir"
+
+    # (b) even with a leftover empty dir (an in-flight pass elsewhere, or a
+    # pre-fix dataset), load_stats must fall through to computing stats.
+    ckpt_path.parent.mkdir(parents=True)
+    fad = FrechetAudioDistance(w2v2, load_model=True)
+    for f in sorted(dataset.glob("*.wav")):
+        fad.cache_embedding_file(f)
+    mu, cov = fad.load_stats(dataset)
+    assert mu.shape == (w2v2.num_features,)
+    assert (ckpt_path.parent / "mu.npy").exists(), "stats written into the dir"
+    # cleanup so other module tests see the fixture dataset unchanged
+    import shutil
+
+    shutil.rmtree(dataset / "stats")
+    shutil.rmtree(dataset / "embeddings")
+    shutil.rmtree(dataset / "convert", ignore_errors=True)
