@@ -179,7 +179,7 @@ def main() -> None:
             "bfloat16"
         ] * 1e12
         print(f"roofline_tfs={roof/1e12:.1f}", flush=True)
-        bw = measure_stream_bw("bfloat16")
+        bw = measure_stream_bw("bfloat16") * 1e9  # helper returns GB/s
         print(f"stream_bw_GBps={bw/1e9:.0f}", flush=True)
 
     cases = bench._family_cases()
