@@ -26,13 +26,15 @@ variant: conv extractor + projection LN/GEMM + positional conv. Reference
 forwards this accounts for: /root/reference/fadtk/model_loader.py:553-558
 (w2v2), :621-633 (wavlm) — the HF Wav2Vec2FeatureEncoder conv stack.
 
-bf16 only: the family-table pct rows (PERF.md §2) that carry the
-"HBM-bound" wording are the bf16 sweep, and the f32 ledger companion is
-already flagged non-independent.
+Primary mode is bf16 (the family-table pct rows, PERF.md §2). The f32 mode
+measures frontend + full conv chain only (no depth sweep): f32 doubles the
+byte floor at unchanged flops, which flips the predicted bind to HBM —
+worth one measurement to pin that the "HBM-bound" wording was right for
+the f32 parity path and wrong for the bf16 throughput path.
 
 Every timing follows the honest tunneled protocol (probe_timing.py).
 Usage:
-  PYTHONPATH=/root/repo:/root/.axon_site python scripts/speech_frontend_floor_probe.py
+  PYTHONPATH=/root/repo:/root/.axon_site python scripts/speech_frontend_floor_probe.py [bf16|f32]
 """
 
 from __future__ import annotations
@@ -151,6 +153,7 @@ def frontend_floors(cfg, b: int, t_samples: int, itemsize: int) -> dict:
 
 
 def main() -> None:
+    dtype_name = sys.argv[1] if len(sys.argv) > 1 else "bf16"
     import jax
 
     if os.environ.get("LEDGER_TRACE_ONLY"):
@@ -166,20 +169,21 @@ def main() -> None:
     import bench
     import fadtk_tpu.models.speech.encoder as enc
 
-    dt = jnp.bfloat16
-    itemsize = 2
-    print("== speech conv-frontend floors (bf16) ==", flush=True)
+    dt = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
+    roof_key = "bfloat16" if dtype_name == "bf16" else "float32"
+    itemsize = 2 if dtype_name == "bf16" else 4
+    print(f"== speech conv-frontend floors ({dtype_name}) ==", flush=True)
 
     if os.environ.get("LEDGER_TRACE_ONLY"):
         rtt, roof, bw = 0.0, 194e12, 618e9
     else:
         rtt = measure_rtt()
         print(f"rtt_ms={rtt*1e3:.1f}", flush=True)
-        roof = bench.measure_matmul_roofline(dtypes=("bfloat16",), m=4096)[
-            "bfloat16"
+        roof = bench.measure_matmul_roofline(dtypes=(roof_key,), m=4096)[
+            roof_key
         ] * 1e12
         print(f"roofline_tfs={roof/1e12:.1f}", flush=True)
-        bw = measure_stream_bw("bfloat16") * 1e9  # helper returns GB/s
+        bw = measure_stream_bw(roof_key) * 1e9  # helper returns GB/s
         print(f"stream_bw_GBps={bw/1e9:.0f}", flush=True)
 
     cases = bench._family_cases()
@@ -192,7 +196,7 @@ def main() -> None:
             "convchain(d) = measured first-d-conv-layers truncation. PERF.md "
             "3.7 interprets."
         ),
-        "dtype": "bf16",
+        "dtype": dtype_name,
         "rtt_ms": round(rtt * 1e3, 2),
         "roofline_tfs": round(roof / 1e12, 1),
         "stream_bw_GBps": round(bw / 1e9, 1),
@@ -204,9 +208,14 @@ def main() -> None:
         os.path.dirname(__file__), "..", ".bench_cache"
     )
     os.makedirs(path, exist_ok=True)
-    fname = os.path.join(path, "speech_frontend_floor_bf16.json")
+    fname = os.path.join(path, f"speech_frontend_floor_{dtype_name}.json")
 
-    for fam, depth_sweep in (("wavlm-base", True), ("w2v2-base", False)):
+    fams = (
+        (("wavlm-base", True), ("w2v2-base", False))
+        if dtype_name == "bf16"
+        else (("wavlm-base", False),)  # f32: bind-flip check only
+    )
+    for fam, depth_sweep in fams:
         fwd, params, inputs, _, _ = cases[fam](dt)
         audio, nv = inputs
         b, t_samples = audio.shape
