@@ -239,9 +239,11 @@ class FrechetAudioDistance:
         mu, cov = calculate_embd_statistics_online(sorted(emb_dir.glob("*.npy")))
         log.info("> Embeddings statistics calculated.")
 
-        cache_dir.mkdir(parents=True, exist_ok=True)
-        np.save(cache_dir / "mu.npy", mu)
-        np.save(cache_dir / "cov.npy", cov)
+        # cov first, mu last, both atomic: the cache-present check above keys
+        # on mu.npy, so its presence must imply a complete (mu, cov) pair even
+        # across a crash between the two writes.
+        atomic_save_npy(cache_dir / "cov.npy", cov)
+        atomic_save_npy(cache_dir / "mu.npy", mu)
         return mu, cov
 
     # ------------------------------------------------------------------ #

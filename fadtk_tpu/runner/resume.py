@@ -157,13 +157,18 @@ class StatsCheckpoint:
             self.path.unlink()
         except FileNotFoundError:
             pass
-        # save() mkdir'd the stats dir; if nothing else lives there yet,
-        # remove it so a dataset that only ever saw the device pipeline does
-        # not present an empty stats/<model>/ dir to the cached-path tooling.
-        try:
-            self.path.parent.rmdir()
-        except OSError:
-            pass  # non-empty (real cached stats) or already gone
+        # Undo save()'s mkdir of the stats dir when nothing else lives there,
+        # so a dataset that only ever saw the device pipeline does not
+        # present an empty stats/<model>/ dir to the cached-path tooling.
+        # Only in the DEFAULT {dir}/stats/{model}/pipeline_ckpt.npz layout
+        # (pipeline_ckpt_path): a user-supplied --checkpoint path in a
+        # directory they created must never have it deleted out from under
+        # them, even when empty.
+        if self.path.name == "pipeline_ckpt.npz" and self.path.parent.parent.name == "stats":
+            try:
+                self.path.parent.rmdir()
+            except OSError:
+                pass  # non-empty (real cached stats) or already gone
 
 
 def open_checkpoint(

@@ -281,6 +281,10 @@ def main() -> None:
         res["bind"] = bind
         floor = max(res["mxu_ideal_ms"], res["byte_floor_ms"])
         res["vs_floor"] = round(res["frontend_ms"] / floor, 2) if floor else None
+        conv_floor = max(res["mxu_ideal_conv_ms"], res["byte_floor_conv_ms"])
+        res["convchain_vs_conv_floor"] = (
+            round(chain[n_conv] / conv_floor, 2) if conv_floor else None
+        )
         out[fam] = res
         print(json.dumps({fam: res}), flush=True)
         with open(fname, "w") as f:

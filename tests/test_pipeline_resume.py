@@ -290,3 +290,26 @@ def test_checkpointed_pass_leaves_no_stats_residue(dataset, w2v2, monkeypatch):
     shutil.rmtree(dataset / "stats")
     shutil.rmtree(dataset / "embeddings")
     shutil.rmtree(dataset / "convert", ignore_errors=True)
+
+
+def test_finalize_never_removes_a_user_supplied_directory(tmp_path):
+    """finalize() tidies the empty stats/<model>/ dir only in the DEFAULT
+    checkpoint layout; a user-supplied --checkpoint path in a directory they
+    created keeps that directory even when finalize leaves it empty."""
+    user_dir = tmp_path / "my_ckpts"
+    user_dir.mkdir()
+    ckpt = StatsCheckpoint(user_dir / "run1.npz", fingerprint="x")
+    ckpt.save((np.zeros(4, np.float32), np.zeros((4, 4), np.float32),
+               np.float32(1.0)), files_done=1)
+    ckpt.finalize()
+    assert not (user_dir / "run1.npz").exists()
+    assert user_dir.exists(), "user-created directory must survive finalize"
+
+    default = StatsCheckpoint(
+        tmp_path / "ds" / "stats" / "some-model" / "pipeline_ckpt.npz",
+        fingerprint="x",
+    )
+    default.save((np.zeros(4, np.float32), np.zeros((4, 4), np.float32),
+                  np.float32(1.0)), files_done=1)
+    default.finalize()
+    assert not (tmp_path / "ds" / "stats" / "some-model").exists()
